@@ -1,0 +1,94 @@
+"""Batched span normalization — the graft of batched text recognition (E9–E11).
+
+Reference behavior being re-expressed:
+
+- E9 batched recognition (externals/sdsvtr/sdsvtr/transform.py:18-33, api.py:73-88): ALL
+  crops of a page go through the model in ONE call.  Here ``recognize_batch`` normalizes
+  every sliced span of a turn (and, at the Spark layer, of an Arrow batch) in one pass.
+- E10 greedy decode (externals/sdsvtr/sdsvtr/converter.py:127-152): per-step argmax until
+  EOS, sequence truncated at max_seq_len, confidence = MIN over kept steps.  Here tokens
+  stand in for decode steps: truncate at ``max_seq_len`` tokens, conf = min of per-token
+  scores.
+- E11 post-process (/root/reference/src/utils.py:17-19): single-pass placeholder->space
+  remap (the ✪ model-space token).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import json
+import re
+import unicodedata
+
+_WS = re.compile(r"\s+")
+_MD_LINK = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
+_MD_EMPH = re.compile(r"(\*\*|__|`)")
+
+# numeric-span recognition (graft-added scalar layer, SURVEY.md §2.8): a span whose whole
+# text is a number / date / currency amount is re-kinded to "num"
+_NUMERIC = re.compile(
+    r"^(?:[-+$€£]?\s?\d{1,3}(?:[,.]\d{3})*(?:[.,]\d+)?%?"
+    r"|\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2})?)?"
+    r"|\d{1,2}/\d{1,2}/\d{2,4})$"
+)
+
+
+def _strip_controls(s: str) -> str:
+    """Drop control characters (category Cc) except tab/newline."""
+    return "".join(ch for ch in s if ch in "\t\n" or unicodedata.category(ch) != "Cc")
+
+
+def _token_score(tok: str) -> float:
+    """Per-token recognition score: texty-character fraction (the per-step softmax-score
+    analogue feeding E10's min-aggregation)."""
+    from ocr_engine_spark.kernel.detect import content_conf
+
+    return content_conf(tok)
+
+
+def recognize_one(raw: str, kind: str, placeholder: str, max_seq_len: int):
+    """Normalize one sliced span -> (text, conf, kind).
+
+    Pipeline: format-specific decode (entity / markdown-inline / JSON-escape) ->
+    control strip -> placeholder remap -> whitespace collapse -> token cap -> min-conf.
+    """
+    s = raw
+    if kind == "html":
+        s = _htmllib.unescape(s)
+    elif kind == "markdown":
+        s = _MD_LINK.sub(r"\1", s)
+        s = _MD_EMPH.sub("", s)
+    elif kind == "json":
+        try:
+            s = json.loads('"' + s + '"')
+        except ValueError:
+            pass
+    s = _strip_controls(s)
+    if placeholder:
+        s = s.replace(placeholder, " ")  # E11, utils.py:17-19
+    s = _WS.sub(" ", s).strip()
+    if not s:
+        return "", 0.0, kind
+
+    tokens = s.split(" ")
+    if max_seq_len and len(tokens) > max_seq_len:  # E10 truncation
+        tokens = tokens[:max_seq_len]
+        s = " ".join(tokens)
+    conf = min(_token_score(t) for t in tokens)  # E10 min over kept steps
+
+    if kind != "num" and _NUMERIC.match(s):
+        kind = "num"
+    return s, conf, kind
+
+
+def recognize_batch(raws, kinds, placeholder: str, max_seq_len: int):
+    """One batched call over all spans (E9); returns list[(text, conf, kind)].
+
+    Empty input short-circuits to [] exactly like run_recog
+    (/root/reference/src/ocr.py:120-121).
+    """
+    if len(raws) == 0:
+        return []
+    return [
+        recognize_one(r, k, placeholder, max_seq_len) for r, k in zip(raws, kinds)
+    ]
