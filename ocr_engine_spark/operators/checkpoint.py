@@ -1,0 +1,137 @@
+"""Checkpoint/resume + per-partition lineage & metrics (north_rule requirement).
+
+Protocol (SURVEY.md §4.2.3):
+
+- The corpus is bucketed into ``n_buckets`` deterministic partitions:
+  p = pmod(xxhash64(conv_id, turn_idx // salt_block), n_buckets).
+- Output and metrics are parquet tables partitioned by ``p`` with DYNAMIC partition
+  overwrite, so re-running a bucket is idempotent (exactly-once by overwrite, the
+  Iceberg overwritePartitions analogue — Parquet-local here, catalog pluggable).
+- A bucket is DONE iff its metrics row (status='done') exists; metrics are written
+  AFTER the bucket's data, so a crash between the two re-runs that bucket.
+- Resume = anti-join pending buckets against the done-set — only undone buckets are
+  recomputed (left_anti on p).
+
+Metrics schema follows FIXTURES.md §3 run_metrics: the graft of the reference's
+per-stage Timer instrumentation (/root/reference/src/utils.py:45-56) and manifest
+accumulation (/root/reference/run.py:91-118) — metrics written as data, not logs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from ocr_engine_spark.operators.extract import (
+    DEFAULT_SALT_BLOCK, _extract_batches, EXTRACTED_SCHEMA,
+)
+
+
+def with_bucket(df: DataFrame, n_buckets: int,
+                salt_block: int = DEFAULT_SALT_BLOCK) -> DataFrame:
+    return df.withColumn(
+        "p",
+        F.pmod(
+            F.xxhash64(F.col("conv_id"),
+                       F.floor(F.col("turn_idx") / F.lit(salt_block)).cast("long")),
+            F.lit(n_buckets),
+        ).cast("int"),
+    )
+
+
+def done_buckets(spark: SparkSession, metrics_path: str) -> set[int]:
+    if not os.path.exists(metrics_path):
+        return set()
+    rows = (
+        spark.read.parquet(metrics_path)
+        .where(F.col("status") == "done")
+        .select("p").distinct().collect()
+    )
+    return {r["p"] for r in rows}
+
+
+def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
+                   run_id: str, n_buckets: int = 32,
+                   cfg: EngineConfig = DEFAULT_CONFIG,
+                   salt_block: int = DEFAULT_SALT_BLOCK) -> dict:
+    """Checkpointed, resumable extraction run.
+
+    Layout: {out_dir}/extracted/p=*/   (data, dynamic-overwrite by p)
+            {out_dir}/run_metrics/p=*/ (lineage rows, written after data)
+
+    Returns a summary dict {run_id, buckets_total, buckets_done_before, buckets_run}.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    data_path = os.path.join(out_dir, "extracted")
+    metrics_path = os.path.join(out_dir, "run_metrics")
+
+    done = done_buckets(spark, metrics_path)
+    bucketed = with_bucket(transcripts.select("conv_id", "turn_idx", "text"),
+                           n_buckets, salt_block)
+    pending = bucketed
+    if done:
+        pending = bucketed.where(~F.col("p").isin(sorted(done)))  # resume anti-filter
+
+    started = time.time()
+    if pending.limit(1).count() > 0:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        # fresh StructType: .add() would mutate the shared EXTRACTED_SCHEMA
+        out_schema = StructType(
+            list(EXTRACTED_SCHEMA.fields) + [StructField("p", IntegerType())])
+        extracted = (
+            pending.repartition(n_buckets, "p")
+            .mapInPandas(_pass_bucket(_extract_batches(cfg)), schema=out_schema)
+        )
+        extracted.write.mode("overwrite").partitionBy("p").parquet(data_path)
+
+        # lineage + metrics AFTER data commit: a bucket without its metrics row reruns
+        finished = time.time()
+        metrics = (
+            spark.read.parquet(data_path)
+            .groupBy("p")
+            .agg(
+                F.countDistinct("conv_id").alias("conv_ids"),
+                F.count(F.lit(1)).alias("turns"),
+                F.sum("n_spans").cast("long").alias("spans"),
+                F.avg("strip_ratio").alias("strip_ratio"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("started", F.lit(started).cast("timestamp"))
+            .withColumn("finished", F.lit(finished).cast("timestamp"))
+            .withColumn("status", F.lit("done"))
+        )
+        if done:  # only newly-run buckets get (re)written — dynamic overwrite by p
+            metrics = metrics.where(~F.col("p").isin(sorted(done)))
+        metrics.select(
+            "run_id", "conv_ids", "turns", "spans", "strip_ratio",
+            "started", "finished", "status", "p",
+        ).write.mode("overwrite").partitionBy("p").parquet(metrics_path)
+
+    ran = n_buckets - len(done)
+    return {
+        "run_id": run_id,
+        "buckets_total": n_buckets,
+        "buckets_done_before": len(done),
+        "buckets_run": ran,
+        "data_path": data_path,
+        "metrics_path": metrics_path,
+    }
+
+
+def _pass_bucket(inner):
+    """Wrap a mapInPandas kernel so the bucket id column rides along unchanged."""
+
+    def fn(batches):
+        for pdf in batches:
+            p = pdf["p"].to_numpy()
+            for out in inner(iter([pdf.drop(columns=["p"])])):
+                # the kernel emits exactly one output row per input row, in order,
+                # so the bucket id maps back positionally (a task may hold >1 bucket)
+                out["p"] = p[: len(out)]
+                yield out
+
+    return fn

@@ -1,0 +1,122 @@
+"""Spark extraction operator: the distributed wrapper around the oracle kernel.
+
+Design (SURVEY.md §4.2, BASELINE.json north_rule):
+
+- The whole per-turn pipeline is ONE fused Arrow-batched stage (``mapInPandas``): scan ->
+  repartition -> python eval -> sink.  This mirrors the reference's single batched model
+  call per page (/root/reference/src/ocr.py:161-163) — no per-row Python crosses the
+  JVM/Python boundary; Arrow batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- **Salting for skewed long conversations**: partition key = (conv_id, turn_idx // salt
+  block).  Extraction is stateless per turn, so a whale conversation (Zipfian corpus) can
+  be split across executors without changing results.  AQE alone cannot split one fused
+  Python stage's hot partition, so the salt is explicit (north_rule requirement).
+- **Repartition-before-UDF** sizes partitions from the data volume so Arrow batches of
+  long payloads stay within executor memory: P ~ total_bytes / target_partition_bytes.
+- Column pruning happens before the UDF (select only what the kernel needs) so the
+  parquet scan reads 3 of 6 columns (check ReadSchema in .explain).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, IntegerType, StringType, StructField,
+    StructType,
+)
+
+from ocr_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+
+SPAN_TYPE = StructType([
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("kind", StringType()),
+    StructField("conf", DoubleType()),
+    StructField("text", StringType()),
+])
+
+EXTRACTED_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("extracted_text", StringType()),
+    StructField("spans", ArrayType(SPAN_TYPE)),
+    StructField("n_spans", IntegerType()),
+    StructField("strip_ratio", DoubleType()),
+    StructField("fmt", StringType()),
+    StructField("is_blank", BooleanType()),
+    StructField("angle", DoubleType()),
+    StructField("page_skew", DoubleType()),
+])
+
+# defaults for partition sizing; overridable per call
+TARGET_PARTITION_BYTES = 64 << 20  # uncompressed text per task
+DEFAULT_SALT_BLOCK = 64  # turns of one conversation kept together per salt bucket
+
+
+def _extract_batches(cfg: EngineConfig):
+    """Executor-side closure: kernel import happens once per Python worker (the lazy
+    warmup analogue, SURVEY.md §4.1) and then serves every Arrow batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_engine_spark.kernel.pipeline import extract_frame
+
+        for pdf in batches:
+            out = extract_frame(pdf, cfg)
+            out["n_spans"] = out["n_spans"].astype("int32")
+            yield out
+
+    return fn
+
+
+def salted_key(salt_block: int = DEFAULT_SALT_BLOCK):
+    """Skew-safe shuffle key: hash(conv_id, turn_idx // salt_block).
+
+    Plain hash(conv_id) sends a 100x whale conversation to one task; blocking by
+    turn ranges bounds any task's share of a conversation at ``salt_block`` turns.
+    """
+    return F.xxhash64(
+        F.col("conv_id"),
+        F.floor(F.col("turn_idx") / F.lit(salt_block)).cast("long"),
+    )
+
+
+def plan_num_partitions(df: DataFrame, default_parallelism: int,
+                        target_bytes: int = TARGET_PARTITION_BYTES,
+                        sample_fraction: float | None = None) -> int:
+    """Repartition-before-UDF sizing: estimate payload bytes, divide by target.
+
+    Uses the cheap column-stat path (sum of text lengths); at 100 TB this is a
+    metadata-cheap aggregate that Catalyst pushes to a column scan of one column.
+    """
+    probe = df.select(F.sum(F.length("text")).alias("b"))
+    if sample_fraction:
+        probe = df.sample(fraction=sample_fraction, seed=1).select(
+            (F.sum(F.length("text")) / sample_fraction).alias("b"))
+    total = probe.collect()[0]["b"] or 0
+    by_bytes = int(total * 2 // target_bytes) + 1  # *2: UTF-16-ish in-memory factor
+    return max(default_parallelism, by_bytes)
+
+
+def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+                        num_partitions: int | None = None,
+                        salt_block: int = DEFAULT_SALT_BLOCK) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted table.
+
+    Pure DataFrame -> DataFrame (lazy); the caller picks the action/sink.
+    """
+    pruned = df.select("conv_id", "turn_idx", "text")  # column pruning before the UDF
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, salted_key(salt_block))
+    else:
+        pruned = pruned.repartition(salted_key(salt_block))
+    return pruned.mapInPandas(_extract_batches(cfg), schema=EXTRACTED_SCHEMA)
+
+
+def extracted_ordered(extracted: DataFrame) -> DataFrame:
+    """Stable fixture ordering (ORDER BY conv_id, turn_idx) — comparison-time only;
+    production output stays unordered with sort keys present (SURVEY.md §4.2.4)."""
+    return extracted.orderBy("conv_id", "turn_idx")

@@ -1,0 +1,94 @@
+"""Checkpoint/resume tests (SURVEY.md §5.2 item 5): a killed run resumed with the same
+run_id yields output identical to a single run, with no duplicate rows."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_engine_spark.operators.checkpoint import (
+    done_buckets, run_extraction, with_bucket,
+)
+from ocr_engine_spark.sources.transcripts import generate_transcripts
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def transcripts_df(spark):
+    return spark.createDataFrame(generate_transcripts(25, seed=21, whale_factor=8))
+
+
+def _read_sorted(spark, path):
+    return (
+        spark.read.parquet(path)
+        .select("conv_id", "turn_idx", "extracted_text", "n_spans")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+
+
+def test_full_run_then_resume_noop(spark, transcripts_df, tmp_path):
+    out = str(tmp_path / "run1")
+    s1 = run_extraction(spark, transcripts_df, out, "r1", n_buckets=N_BUCKETS)
+    assert s1["buckets_run"] == N_BUCKETS
+    baseline = _read_sorted(spark, s1["data_path"])
+    assert len(baseline) == transcripts_df.count()
+
+    # resume over a completed run touches nothing
+    s2 = run_extraction(spark, transcripts_df, out, "r1", n_buckets=N_BUCKETS)
+    assert s2["buckets_run"] == 0
+    assert _read_sorted(spark, s2["data_path"]) == baseline
+
+
+def test_kill_and_resume_exactly_once(spark, transcripts_df, tmp_path):
+    out_full = str(tmp_path / "full")
+    out_killed = str(tmp_path / "killed")
+
+    full = run_extraction(spark, transcripts_df, out_full, "rA", n_buckets=N_BUCKETS)
+    want = _read_sorted(spark, full["data_path"])
+
+    # simulate a crash: run fully, then delete metrics AND data for 3 buckets
+    killed = run_extraction(spark, transcripts_df, out_killed, "rA", n_buckets=N_BUCKETS)
+    for p in (1, 4, 6):
+        shutil.rmtree(f"{killed['metrics_path']}/p={p}")
+        shutil.rmtree(f"{killed['data_path']}/p={p}")
+    assert done_buckets(spark, killed["metrics_path"]) == set(range(N_BUCKETS)) - {1, 4, 6}
+
+    resumed = run_extraction(spark, transcripts_df, out_killed, "rA", n_buckets=N_BUCKETS)
+    assert resumed["buckets_done_before"] == N_BUCKETS - 3
+    assert resumed["buckets_run"] == 3
+
+    got = _read_sorted(spark, resumed["data_path"])
+    assert got == want  # identical to the single-run output, no dupes, no gaps
+
+
+def test_crash_between_data_and_metrics_reruns_bucket(spark, transcripts_df, tmp_path):
+    """A bucket whose data committed but whose metrics row didn't must re-run (the
+    done-marker is the metrics row, written strictly after the data)."""
+    out = str(tmp_path / "partial")
+    s = run_extraction(spark, transcripts_df, out, "rB", n_buckets=N_BUCKETS)
+    want = _read_sorted(spark, s["data_path"])
+    shutil.rmtree(f"{s['metrics_path']}/p=2")  # metrics lost, data present
+    resumed = run_extraction(spark, transcripts_df, out, "rB", n_buckets=N_BUCKETS)
+    assert resumed["buckets_run"] == 1
+    assert _read_sorted(spark, resumed["data_path"]) == want
+
+
+def test_metrics_lineage_content(spark, transcripts_df, tmp_path):
+    out = str(tmp_path / "metrics")
+    s = run_extraction(spark, transcripts_df, out, "rC", n_buckets=N_BUCKETS)
+    m = spark.read.parquet(s["metrics_path"])
+    assert m.count() == N_BUCKETS
+    total_turns = m.agg(F.sum("turns")).collect()[0][0]
+    assert total_turns == transcripts_df.count()
+    row = m.first()
+    assert row.run_id == "rC" and row.status == "done"
+    assert set(m.columns) >= {"run_id", "conv_ids", "turns", "spans",
+                              "strip_ratio", "started", "finished", "status", "p"}
+
+
+def test_bucket_assignment_is_deterministic(spark, transcripts_df):
+    a = with_bucket(transcripts_df, N_BUCKETS).select("conv_id", "turn_idx", "p")
+    b = with_bucket(transcripts_df, N_BUCKETS).select("conv_id", "turn_idx", "p")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
