@@ -1,38 +1,283 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fused-kernel extraction over documents at sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline suite (dedup / similarity / text analysis / multimodal);
+``oracle_sql()`` carries the DuckDB-equivalent SQL for each SQL-expressible query.
+
+Determinism conventions (so value-hashes match across engines):
+- double sums go through DECIMAL (order-independent), or are ratios of exact int sums;
+- score columns are rounded to 6 dp before ranking; every ORDER BY has a total order;
+- aggregate/computed columns carry identical aliases on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_engine_spark.operators import (  # noqa: E402
+    dedup, documents, multimodal, relational, similarity, text_analysis,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return documents.extract_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # — extraction pipeline (fused Arrow kernel) —
+        "extract_documents": documents.q_extract_documents,
+        "strip_ratio_by_source": documents.q_strip_ratio_by_source,
+        # — relational surface (joins / aggs / windows) —
+        "pricing_summary": relational.q_pricing_summary,
+        "top_revenue_orders": relational.q_top_revenue_orders,
+        "region_revenue": relational.q_region_revenue,
+        "parts_with_lineitems": relational.q_parts_with_lineitems,
+        "customers_without_orders": relational.q_customers_without_orders,
+        "event_windows": relational.q_event_windows,
+        "hourly_event_rollup": relational.q_hourly_event_rollup,
+        "asof_last_order": relational.q_asof_last_order,
+        "event_range_page": relational.q_event_range_page,
+        # — text analysis —
+        "token_stats": text_analysis.q_token_stats,
+        "lang_id": text_analysis.q_lang_id,
+        "quality_score": text_analysis.q_quality_score,
+        "shingle_count": text_analysis.q_shingle_count,
+        "fingerprint": text_analysis.q_fingerprint,
+        # — deduplication —
+        "exact_dedup": dedup.q_exact_dedup,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # rows-only (xxhash64)
+        "simhash": dedup.q_simhash,                      # rows-only (xxhash64)
+        # — similarity search —
+        "embedding_topk": similarity.q_embedding_topk,
+        "ivf_assign": similarity.q_ivf_assign,
+        "embedding_neardup": similarity.q_embedding_neardup,
+        # — multimodal plumbing —
+        "binary_features": multimodal.q_binary_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+
+
+def _lang_id_sql() -> str:
+    from ocr_engine_spark.operators.text_analysis import LANG_ORDER, LANG_STOPWORDS
+
+    score_cols = ",\n  ".join(
+        "len(list_intersect(list_distinct(string_split_regex(trim(text), ' +')), ["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"])) AS score_{lang}"
+        for lang in LANG_ORDER
+    )
+    pred = f"'{LANG_ORDER[0]}'"
+    best = f"score_{LANG_ORDER[0]}"
+    for lang in LANG_ORDER[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, score_{lang})"
+    return (
+        f"WITH s AS (SELECT doc_id,\n  {score_cols}\nFROM documents)\n"
+        f"SELECT doc_id, {pred} AS pred_lang, CAST({best} AS BIGINT) AS best_score FROM s"
+    )
+
+
+_COSINE = (
+    "round(list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))])"
+    " / (sqrt(list_sum([x * x for x in {a}])) * sqrt(list_sum([x * x for x in {b}]))), 6)"
+)
+
+_EMB = "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb, label FROM embeddings"
+
+# precision chosen so the product (26,12) stays under the 38-digit cap in BOTH
+# engines -> exact, order-independent accumulation.  Oracle-side decimal->double goes
+# VARCHAR-mediated: DuckDB's direct int128-decimal->double cast is not correctly
+# rounded (1-ULP drift vs Spark's BigDecimal.doubleValue); string->double is.
+_REV = ("sum(CAST(l_extendedprice AS DECIMAL(18,6))"
+        " * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos_qc = _COSINE.format(a="q.emb", b="c.emb")
+    cos_ab = _COSINE.format(a="a.emb", b="b.emb")
+    return {
+        "extract_documents": """
+            SELECT doc_id,
+                   regexp_replace(trim(text), '\\s+', ' ', 'g') AS extracted_text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE 1 END AS n_spans,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE 1.0 - length(regexp_replace(trim(text), '\\s+', ' ', 'g')) * 1.0 / length(text)
+                   END AS strip_ratio
+            FROM documents
+        """,
+        "strip_ratio_by_source": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(length(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS BIGINT) AS extracted_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS raw_chars,
+                   1.0 - CAST(sum(length(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS DOUBLE)
+                       / CAST(sum(length(text)) AS DOUBLE) AS strip_ratio
+            FROM documents GROUP BY source
+        """,
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST({_REV} AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": f"""
+            SELECT o_orderkey, CAST(CAST({_REV} AS VARCHAR) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "region_revenue": f"""
+            SELECT r_name, CAST(CAST({_REV} AS VARCHAR) AS DOUBLE) AS revenue, count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "parts_with_lineitems": """
+            SELECT p_brand, count(*) AS n_parts FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+            GROUP BY p_brand
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "event_windows": """
+            SELECT user_id, event_id, rn, prev_value FROM (
+              SELECT user_id, event_id,
+                     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+              FROM events) WHERE rn <= 3
+        """,
+        "hourly_event_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_last_order": """
+            SELECT e.event_id, max(o.o_orderdate) AS last_order_ts,
+                   count(o.o_orderkey) AS n_prior_orders
+            FROM events e LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.event_id
+        """,
+        "event_range_page": """
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+            ORDER BY ts, event_id LIMIT 100
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+                   CAST(len(string_split_regex(trim(regexp_replace(text, '([^\w\s])', ' \1 ', 'g')), '\s+')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "lang_id": _lang_id_sql(),
+        "quality_score": r"""
+            WITH t AS (SELECT doc_id,
+                    CAST(length(text) AS DOUBLE) AS n_chars,
+                    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS n_tok,
+                    CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), ' +')),
+                         ['the', 'a', 'and', 'of', 'to'])) AS DOUBLE) AS n_stop
+              FROM documents)
+            SELECT doc_id,
+                   round(n_punct / n_chars, 6) AS punct_ratio,
+                   round(n_stop / greatest(n_tok, 1.0), 6) AS stop_ratio,
+                   round((n_chars - n_tok + 1) / n_tok, 6) AS mean_token_len,
+                   CAST(n_tok AS BIGINT) AS n_tokens
+            FROM t
+        """,
+        "shingle_count": """
+            SELECT doc_id, CAST(count(DISTINCT substr(substr(text, 1, 200), CAST(i AS INTEGER), 8)) AS BIGINT) AS n_shingles
+            FROM documents, unnest(generate_series(1, greatest(length(substr(text, 1, 200)) - 7, 1))) AS t(i)
+            GROUP BY doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(substr(text, 1, 64)) AS md5_head,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       [CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+                        for i in generate_series(1, least(length(text), 64))]),
+                     (acc, b) -> (acc * 31 + b) % 1000000007) AS rolling_hash
+            FROM documents
+        """,
+        "exact_dedup": """
+            WITH h AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+            g AS (SELECT doc_id, text_md5,
+                         count(*) OVER (PARTITION BY text_md5) AS n_copies,
+                         CAST(row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS INTEGER) AS dup_rank
+                  FROM h)
+            SELECT doc_id, text_md5, n_copies, dup_rank FROM g WHERE n_copies > 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH d AS (SELECT doc_id, source,
+                              list_distinct(string_split_regex(trim(text), ' +')) AS wset
+                       FROM documents)
+            SELECT doc_id_a, doc_id_b, jaccard FROM (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                           / (len(a.wset) + len(b.wset) - CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)), 6) AS jaccard
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.6
+        """,
+        "embedding_topk": f"""
+            WITH e AS ({_EMB}),
+            s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         {cos_qc} AS score
+                  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id != q.vec_id)
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "ivf_assign": f"""
+            WITH e AS ({_EMB}),
+            s AS (SELECT v.vec_id, c.vec_id AS centroid_id,
+                         {_COSINE.format(a="v.emb", b="c.emb")} AS centroid_score
+                  FROM e v JOIN e c ON c.vec_id < 8)
+            SELECT vec_id, centroid_id, centroid_score FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY centroid_score DESC, centroid_id) AS rn
+              FROM s) WHERE rn = 1
+        """,
+        "embedding_neardup": f"""
+            WITH e AS ({_EMB})
+            SELECT id_a, id_b, score FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS score
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            WHERE score >= 0.9
+        """,
+        "binary_features": """
+            SELECT doc_id AS media_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       [CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+                        for i in generate_series(1, least(length(text), 64))]),
+                     (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+            FROM documents
+        """,
+        # minhash_lsh_pairs / simhash: xxhash64 has no DuckDB equivalent -> rows-only
+    }

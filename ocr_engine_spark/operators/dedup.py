@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB corpus):
+- exact dedup is one hash-groupBy (map-side combinable, single shuffle on the digest);
+- MinHash signatures are computed per-row with array expressions (NO explode -> no
+  shuffle for the signature); only the tiny banded keys shuffle for bucketing;
+- candidate pairs come from LSH band buckets (self-join within buckets only), then are
+  verified with exact Jaccard — the quadratic step never touches the full corpus;
+- SimHash is a per-row fold, usable for Hamming-radius blocking downstream.
+
+Everything is built-in SQL expressions (xxhash64, aggregate, transform) — JVM-side,
+codegen-friendly, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_engine_spark.operators.relational import load
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5 digest; dup_rank orders members deterministically."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h = docs.withColumn("text_md5", F.md5("text"))
+    w = Window.partitionBy("text_md5")
+    return (
+        h.withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "dup_rank",
+            F.row_number().over(Window.partitionBy("text_md5").orderBy("doc_id")),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("doc_id", "text_md5", "n_copies", "dup_rank")
+    )
+
+
+def _shingle_array(col: str = "text", k: int = 3):
+    """Word k-gram shingles as an array column (no explode)."""
+    toks = f"split(trim({col}), ' +')"
+    return F.expr(
+        f"transform(sequence(0, greatest(size({toks}) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {k})))"
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """Per-row MinHash signature: sig[j] = min over shingles of xxhash64(shingle, j).
+
+    One array expression per row; zero shuffles.  Seeds are folded in by concatenating
+    the hash index (xxhash64's seed argument isn't exposed in SQL).
+    """
+    sig = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}),"
+        "  j -> aggregate(shingles, 9223372036854775807L,"
+        "       (acc, s) -> least(acc, xxhash64(s, cast(j as string)))))"
+    )
+    return (
+        docs.withColumn("shingles", _shingle_array(k=k))
+        .where(F.size("shingles") > 0)
+        .withColumn("minhash", sig)
+        .drop("shingles")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
+                      k: int = 3, jaccard_threshold: float = 0.7) -> DataFrame:
+    """MinHash LSH near-dup pairs: band -> bucket-join -> exact-Jaccard verification.
+
+    Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs.select("doc_id", "text"), num_hashes, k)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))))"
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    with_sets = docs.select(
+        "doc_id", F.array_distinct(_shingle_array(k=k)).alias("sset"))
+    verified = (
+        cand.join(with_sets.withColumnRenamed("doc_id", "doc_id_a")
+                  .withColumnRenamed("sset", "set_a"), "doc_id_a")
+        .join(with_sets.withColumnRenamed("doc_id", "doc_id_b")
+              .withColumnRenamed("sset", "set_b"), "doc_id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("set_a") + F.size("set_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+    return verified
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard within same-source blocks (oracle-checkable blocked
+    quadratic baseline for the LSH path)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split(F.trim("text"), " +")).alias("wset"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn("inter", F.size(F.array_intersect("a.wset", "b.wset")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter")
+                    / (F.size("a.wset") + F.size("b.wset") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+
+
+def simhash(docs: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
+    """Per-row 64-bit SimHash: bit b of the fingerprint = majority vote of token-hash
+    bit b (bitwise weighted sum fold, one expression, no shuffle)."""
+    toks = f"split(trim({col}), ' +')"
+    # votes[b] = sum over tokens of (bit b set ? 1 : -1); fingerprint bit = votes > 0
+    fp = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, b) -> acc | (case when"
+        f" aggregate({toks}, 0L, (v, t) ->"
+        "   v + (case when (xxhash64(t) & shiftleft(1L, b)) != 0 then 1 else -1 end))"
+        " > 0 then shiftleft(1L, b) else 0L end))"
+    )
+    return docs.withColumn("simhash", fp)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs).select("doc_id", "simhash")

@@ -1,0 +1,172 @@
+"""Relational query surface over the TPC-H-ish test tables.
+
+The reference engine has no relational layer; these operators exercise the engine's
+built-in Catalyst surface (joins incl. broadcast/semi/anti/as-of, aggregations, windows,
+range filters) that the transcript pipeline composes with at scale (SURVEY.md §2.3/§2.5).
+
+Determinism rules for the DuckDB-oracle contract:
+- sums/avgs of doubles go through DECIMAL so the result is order-independent and
+  bit-identical across engines;
+- every ORDER BY carries a total tie-break key;
+- every computed column is aliased identically to the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: str, alias: str, scale: int = 2):
+    """Order-independent double sum: exact decimal accumulation, double result."""
+    return F.sum(F.col(col).cast("decimal(30,6)")).cast("double").alias(alias)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analogue: map-side-combinable aggregation, no join, one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,6)")
+                 * (F.lit(1).cast("decimal(8,6)")
+                    - F.col("l_discount").cast("decimal(8,6)")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue: fact-fact join + broadcast dim + global top-k with total
+    ordering (revenue desc, orderkey asc)."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,6)")
+                 * (F.lit(1).cast("decimal(8,6)")
+                    - F.col("l_discount").cast("decimal(8,6)")))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-ish: star join through broadcast dimensions -> per-region revenue."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,6)")
+                 * (F.lit(1).cast("decimal(8,6)")
+                    - F.col("l_discount").cast("decimal(8,6)")))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (J3-style manifest filtering): parts that actually shipped."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: the resume protocol's shape (pending = all \\ done)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions with total ordering: first 3 events per user + lagged value
+    (O1/O2 ordering analogue at the relational layer)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn", "prev_value")
+    )
+
+
+def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the streaming metrics window, batch spelling)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value", "sum_value"),
+        )
+    )
+
+
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the customer's most recent order at event
+    time (SURVEY.md §2.3 — the graft engine's as-of surface)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    orders = load(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.max("o_orderdate").alias("last_order_ts"),
+        F.count("o_orderkey").alias("n_prior_orders"),
+    )
+
+
+def q_event_range_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range filter + deterministic page (O4 page-range limit analogue)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(
+            (F.col("ts") >= F.lit("2024-01-10")) & (F.col("ts") < F.lit("2024-01-11"))
+        )
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline (broadcast the query set, one pass over
+  the corpus, per-partition top-k via window rank) — correct at any scale, O(N*Q);
+- IVF-style bucketed ANN: assign every vector to its nearest centroid (broadcast
+  centroid table), probe only matching buckets at query time — the scale path that
+  turns O(N*Q) into O(N/C * Q) per probe;
+- embedding near-dup: cosine >= threshold pairs within label blocks.
+
+Dot products use F.aggregate/F.zip_with over the array columns (JVM-side); doubles are
+rounded before ranking for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+
+from ocr_engine_spark.operators.relational import load
+
+
+def _cosine(a: str, b: str):
+    """Sequential-fold cosine similarity between two array<double> columns (the same
+    left-to-right accumulation order in Spark and the DuckDB oracle)."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)")
+    na = F.sqrt(F.expr(f"aggregate({a}, 0.0D, (s, v) -> s + v * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, 0.0D, (s, v) -> s + v * v)"))
+    return dot / (na * nb)
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, rank with rounded-score +
+    id tie-break (total order -> deterministic across engines and runs)."""
+    from pyspark.sql.window import Window
+
+    c = _as_double(corpus).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c"))
+    q = _as_double(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q"))
+    scored = (
+        c.crossJoin(broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(_cosine("emb_q", "emb_c"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: nearest centroid per vector (broadcast centroids,
+    argmax by rounded cosine with centroid-id tie-break)."""
+    from pyspark.sql.window import Window
+
+    c = _as_double(corpus).select("vec_id", F.col("embedding").alias("emb"))
+    cent = _as_double(centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb"))
+    scored = c.crossJoin(broadcast(cent)).withColumn(
+        "score", F.round(_cosine("emb", "cemb"), 6))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("score").alias("centroid_score"))
+    )
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-centroids: the 8 lowest vec_ids (a k-means seed stand-in;
+    the assignment/probe plumbing is what scales, not the seeding)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    return ivf_assign(emb, centroids)
+
+
+def ivf_topk(corpus_assigned: DataFrame, queries_assigned: DataFrame,
+             k: int = 5) -> DataFrame:
+    """ANN probe: top-k restricted to the query's centroid bucket (1-probe IVF)."""
+    from pyspark.sql.window import Window
+
+    c = corpus_assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("emb_c"), "centroid_id")
+    q = queries_assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("emb_q"),
+        F.col("centroid_id").alias("q_centroid"))
+    scored = (
+        c.join(broadcast(q), c.centroid_id == q.q_centroid)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(_cosine("emb_q", "emb_c"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the coarse bucket)."""
+    emb = _as_double(load(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+                   F.col("label").alias("lbl"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+                   F.col("label").alias("lbl"))
+    return (
+        a.join(b, "lbl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(_cosine("emb_a", "emb_b"), 6))
+        .where(F.col("score") >= 0.9)
+        .select("id_a", "id_b", "score")
+    )

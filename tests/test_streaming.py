@@ -1,0 +1,58 @@
+"""Structured Streaming wrapper tests: the fused kernel on a streaming plan, with the
+batch output as the oracle (same kernel -> equality by construction)."""
+
+import pytest
+
+from ocr_engine_spark.operators.extract import extract_transcripts
+from ocr_engine_spark.sources.transcripts import generate_transcripts
+from ocr_engine_spark.streaming.stream import (
+    extract_stream, metrics_window_stream, read_transcript_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    from ocr_engine_spark.streaming.stream import TRANSCRIPTS_DDL
+
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    pdf = generate_transcripts(15, seed=5, whale_factor=2)
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS_DDL).repartition(4).write.parquet(path)
+    return path
+
+
+def test_stream_extraction_matches_batch(spark, stream_dir):
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=2)
+    assert stream.isStreaming
+    q = (
+        extract_stream(stream)
+        .writeStream.format("memory").queryName("ext_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ext_stream")
+        .select("conv_id", "turn_idx", "extracted_text", "n_spans")
+        .orderBy("conv_id", "turn_idx").collect()
+    )
+    batch = extract_transcripts(spark.read.parquet(stream_dir))
+    want = (
+        batch.select("conv_id", "turn_idx", "extracted_text", "n_spans")
+        .orderBy("conv_id", "turn_idx").collect()
+    )
+    assert got == want
+
+
+def test_metrics_window_stream(spark, stream_dir):
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=4)
+    q = (
+        metrics_window_stream(stream, watermark="2 hours", window="30 minutes")
+        .writeStream.format("memory").queryName("metrics_stream")
+        # complete mode: append would hold back windows the final watermark never
+        # passes (availableNow ends the stream before the last windows close)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("metrics_stream").collect()
+    total = sum(r.turns for r in rows)
+    assert total == spark.read.parquet(stream_dir).count()
+    assert all(r.spans >= 0 for r in rows)
