@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec, ...},
+     "sf": ..., "extraction": {"turns": N, "sec": s, "turns_per_sec": r}}
+
+Every query is forced end-to-end with a ``noop``-format write (full execution, no
+driver-side collect bottleneck).  The flagship extraction throughput (turns/sec, the
+BASELINE.json metric) is measured over a deterministic synthetic transcript corpus
+generated in-process (seeded — no external data).  The N->4N scaling-efficiency
+evidence lives in ``tools/bench_scaling.py`` -> ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries that define the headline number. ngram_jaccard_pairs / embedding pairwise
+# queries are included: they are the quadratic training-data ops whose plans
+# (broadcast self-join inside source/label blocks) must hold up at scale.
+HEADLINE = [
+    "extract_documents",
+    "strip_ratio_by_source",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "parts_with_lineitems",
+    "customers_without_orders",
+    "event_windows",
+    "hourly_event_rollup",
+    "asof_last_order",
+    "event_range_page",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "shingle_count",
+    "fingerprint",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_topk",
+    "ivf_assign",
+    "embedding_neardup",
+    "binary_features",
+]
+
+# transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "6000"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"ocr-engine-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 2 * cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def force(df) -> int:
+    """Fully execute a DataFrame without funneling rows through the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_extraction(spark, n_convs: int) -> dict:
+    """Flagship metric: turns/sec over the synthetic transcript corpus."""
+    import pandas as pd  # noqa: F401
+
+    from ocr_engine_spark.operators.extract import extract_transcripts
+    from ocr_engine_spark.sources.transcripts import generate_transcripts
+
+    pdf = generate_transcripts(n_convs=n_convs, seed=7, whale_factor=100)
+    n_turns = len(pdf)
+    df = spark.createDataFrame(pdf)
+    df = df.repartition(spark.sparkContext.defaultParallelism * 2).cache()
+    df.count()  # materialize input outside the timed section
+    t0 = time.perf_counter()
+    force(extract_transcripts(df, num_partitions=spark.sparkContext.defaultParallelism * 3))
+    sec = time.perf_counter() - t0
+    df.unpersist()
+    return {"turns": n_turns, "sec": round(sec, 3),
+            "turns_per_sec": round(n_turns / sec, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(cpus)
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    extraction = bench_extraction(spark, BENCH_CONVS)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "extraction": extraction,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

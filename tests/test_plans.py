@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4.2 promises.
+
+These pin what `.explain("formatted")` must keep showing — predicate/column pushdown
+into the parquet scan, broadcast joins for dimensions, JVM-only (no Python eval)
+plans for the dedup/text built-in operators, and the salted exchange before the
+extraction UDF.  A correct-but-badly-planned query fails here even though its rows
+match the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    import __spark_entry__ as entrymod
+
+    return {name: fn(spark, SF) for name, fn in entrymod.queries().items()}
+
+
+def test_range_filter_pushed_to_scan(q):
+    p = plan(q["event_range_page"])
+    assert "PushedFilters:" in p
+    # the ts range predicate reaches the parquet reader, not a post-scan Filter only
+    assert "GreaterThanOrEqual(ts" in p and "LessThan(ts" in p
+
+
+def test_scan_prunes_columns(q):
+    # events has 5 columns; event_windows needs only 4 — ReadSchema must not
+    # include event_type
+    p = plan(q["event_windows"])
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and "event_type" not in read[0]
+
+
+def test_dimension_joins_broadcast(q):
+    p = plan(q["region_revenue"])
+    assert "BroadcastHashJoin" in p
+    # the two fact-side joins shuffle; nation/region must NOT (they broadcast)
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_semi_and_anti_joins(q):
+    assert "LeftSemi" in plan(q["parts_with_lineitems"])
+    assert "LeftAnti" in plan(q["customers_without_orders"])
+
+
+def test_dedup_stays_jvm_side(q):
+    # minhash/simhash/exact dedup are built-in expressions: no Python worker, no
+    # BatchEvalPython / ArrowEvalPython nodes anywhere in the plan
+    for name in ("exact_dedup", "minhash_lsh_pairs", "simhash",
+                 "ngram_jaccard_pairs", "token_stats", "lang_id"):
+        p = plan(q[name])
+        assert "EvalPython" not in p, f"{name} fell back to Python"
+
+
+def test_pricing_summary_partial_agg(q):
+    # map-side combine: two HashAggregates (partial + final) around one exchange
+    p = plan(q["pricing_summary"])
+    assert p.count("HashAggregate") >= 2
+    assert "Functions [partial_" in p or "partial_sum" in p
+
+
+def test_extraction_exchange_is_salted(spark):
+    from ocr_engine_spark.operators.extract import extract_transcripts
+    from ocr_engine_spark.sources.transcripts import generate_transcripts
+
+    df = spark.createDataFrame(generate_transcripts(5, whale_factor=5))
+    p = plan(extract_transcripts(df, num_partitions=8))
+    # one round-robin-free hash exchange on the salted key, then the Arrow stage
+    assert "xxhash64" in p and ("hashpartitioning" in p or "Exchange" in p)
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+
+
+def test_extraction_scan_prunes_to_three_columns(spark, tmp_path):
+    from ocr_engine_spark.operators.extract import extract_transcripts
+    from ocr_engine_spark.sources.transcripts import write_transcripts_parquet
+
+    path = str(tmp_path / "tx.parquet")
+    write_transcripts_parquet(path, n_convs=5, whale_factor=1)
+    df = spark.read.parquet(path)
+    p = plan(extract_transcripts(df, num_partitions=4))
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    # 6-column table, kernel needs 3: role/tool/ts must be pruned at the scan
+    assert read and all(c not in read[0] for c in ("role", "tool", "ts>"))
