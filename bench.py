@@ -99,7 +99,8 @@ def bench_extraction(spark, n_convs: int) -> dict:
     force(extract_transcripts(df.limit(2000),
                               num_partitions=spark.sparkContext.defaultParallelism))
     t0 = time.perf_counter()
-    force(extract_transcripts(df, num_partitions=spark.sparkContext.defaultParallelism * 3))
+    # no-shuffle path: the cached input is already balanced across 2x cores
+    force(extract_transcripts(df))
     sec = time.perf_counter() - t0
     df.unpersist()
     return {"turns": n_turns, "sec": round(sec, 3),

@@ -16,6 +16,11 @@ from ocr_engine_spark.operators.relational import load
 
 def extract_documents(spark: SparkSession, sf_dir: str,
                       num_partitions: int | None = None) -> DataFrame:
+    if num_partitions is None:
+        # the documents table is one small parquet file locally -> one scan split;
+        # spread the kernel across cores (at scale the scan itself is split-bounded
+        # and extract_transcripts' no-shuffle default applies)
+        num_partitions = spark.sparkContext.defaultParallelism * 2
     docs = load(spark, sf_dir, "documents")
     as_turns = docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),

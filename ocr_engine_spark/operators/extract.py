@@ -107,12 +107,25 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted table.
 
     Pure DataFrame -> DataFrame (lazy); the caller picks the action/sink.
+
+    Partitioning policy (measured in BENCH/BASELINE.md):
+
+    - ``num_partitions=None`` (default): NO exchange — the kernel runs directly on the
+      source partitions.  Extraction is stateless per turn, so when the scan already
+      byte-bounds its splits (parquet/Iceberg ``files.maxPartitionBytes``), task work
+      is bounded by bytes regardless of conversation skew, and the salted shuffle
+      would only burn CPU moving every payload once.  This is the production path:
+      one scan -> one Python stage -> sink, zero shuffles.
+    - ``num_partitions=P``: explicit salted repartition — required when the SOURCE
+      layout is skew-prone (e.g. Iceberg ``bucket(conv_id)`` where a whale
+      conversation concentrates in one file, or tiny-file storms that need
+      compaction).  Key = hash(conv_id, turn_idx // salt_block) so a whale
+      conversation splits across tasks (AQE cannot split a fused Python stage's hot
+      partition on its own).
     """
     pruned = df.select("conv_id", "turn_idx", "text")  # column pruning before the UDF
     if num_partitions:
         pruned = pruned.repartition(num_partitions, salted_key(salt_block))
-    else:
-        pruned = pruned.repartition(salted_key(salt_block))
     return pruned.mapInPandas(_extract_batches(cfg), schema=EXTRACTED_SCHEMA)
 
 

@@ -114,8 +114,15 @@ def generate_transcripts(n_convs: int = 50, seed: int = 7,
 
 
 def write_transcripts_parquet(path: str, n_convs: int, seed: int = 7,
-                              whale_factor: int = 100) -> int:
-    """Materialize a corpus to parquet (bench input); returns the row count."""
+                              whale_factor: int = 100,
+                              row_group_size: int | None = None) -> int:
+    """Materialize a corpus to parquet (bench input); returns the row count.
+
+    ``row_group_size`` caps rows per parquet row group: row groups are the scan's
+    split boundaries, so small groups let ``spark.sql.files.maxPartitionBytes``
+    byte-bound tasks even for a single file (a 1-row-group file is one task no
+    matter the setting).
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -124,5 +131,9 @@ def write_transcripts_parquet(path: str, n_convs: int, seed: int = 7,
         ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
         ("text", pa.string()), ("tool", pa.string()), ("ts", pa.timestamp("us")),
     ])
-    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    if row_group_size:
+        pq.write_table(table, path, row_group_size=row_group_size)
+    else:
+        pq.write_table(table, path)
     return len(df)
