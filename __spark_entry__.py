@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # — extraction pipeline (fused Arrow kernel) —
         "extract_documents": documents.q_extract_documents,
+        "manifest_extract": documents.q_manifest_extract,
         "strip_ratio_by_source": documents.q_strip_ratio_by_source,
         # — relational surface (joins / aggs / windows) —
         "pricing_summary": relational.q_pricing_summary,
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — similarity search —
         "embedding_topk": similarity.q_embedding_topk,
         "ivf_assign": similarity.q_ivf_assign,
+        "ivf_topk": similarity.q_ivf_topk,
         "embedding_neardup": similarity.q_embedding_neardup,
         # — multimodal plumbing —
         "binary_features": multimodal.q_binary_features,
@@ -117,6 +119,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1.0 - length(regexp_replace(trim(text), '\\s+', ' ', 'g')) * 1.0 / length(text)
                    END AS strip_ratio
             FROM documents
+        """,
+        "manifest_extract": """
+            SELECT doc_id,
+                   regexp_replace(trim(text), '\\s+', ' ', 'g') AS extracted_text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE 1 END AS n_spans
+            FROM documents WHERE doc_id % 20 = 3
         """,
         "strip_ratio_by_source": """
             SELECT source,
@@ -260,6 +268,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, centroid_id, centroid_score FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY centroid_score DESC, centroid_id) AS rn
               FROM s) WHERE rn = 1
+        """,
+        "ivf_topk": f"""
+            WITH e AS ({_EMB}),
+            assigned AS (
+              SELECT vec_id, emb, centroid_id FROM (
+                SELECT v.vec_id, v.emb, c.vec_id AS centroid_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_COSINE.format(a="v.emb", b="c.emb")} DESC, c.vec_id) AS rn
+                FROM e v JOIN e c ON c.vec_id < 8) WHERE rn = 1),
+            s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         {cos_qc} AS score
+                  FROM assigned q JOIN assigned c
+                    ON q.vec_id < 5 AND c.centroid_id = q.centroid_id
+                   AND c.vec_id != q.vec_id)
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+              FROM s) WHERE rank <= 5
         """,
         "embedding_neardup": f"""
             WITH e AS ({_EMB})

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (broadcast self-join inside source/label blocks) must hold up at scale.
 HEADLINE = [
     "extract_documents",
+    "manifest_extract",
     "strip_ratio_by_source",
     "pricing_summary",
     "top_revenue_orders",
@@ -48,6 +49,7 @@ HEADLINE = [
     "simhash",
     "embedding_topk",
     "ivf_assign",
+    "ivf_topk",
     "embedding_neardup",
     "binary_features",
 ]

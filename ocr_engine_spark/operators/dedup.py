@@ -48,8 +48,8 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_array(col: str = "text", k: int = 3):
-    """Word k-gram shingles as an array column (no explode).
+def _shingle_sql(col: str = "text", k: int = 3) -> str:
+    """SQL for word k-gram shingles as an array (no explode).
 
     Built with ``zip_with`` over shifted slices rather than
     ``transform(sequence(...), i -> slice(toks, ...))``: higher-order-function
@@ -63,7 +63,11 @@ def _shingle_array(col: str = "text", k: int = 3):
     e = f"slice({toks}, 1, {m})"
     for i in range(2, k + 1):
         e = f"zip_with({e}, slice({toks}, {i}, {m}), (a, b) -> concat_ws(' ', a, b))"
-    return F.expr(e)
+    return e
+
+
+def _shingle_array(col: str = "text", k: int = 3):
+    return F.expr(_shingle_sql(col, k))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
@@ -98,8 +102,15 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
     Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
     """
     rows = num_hashes // bands
+    # verification sets hold hashed shingles: bigint array_intersect is far cheaper
+    # than string intersect and Jaccard over distinct 64-bit shingle hashes equals
+    # string-set Jaccard up to xxhash64 collisions (~2^-64 per pair)
     sigs = minhash_signatures(docs.select("doc_id", "text"), num_hashes, k) \
-        .withColumn("sset", F.array_distinct(_shingle_array(k=k))).drop("text")
+        .withColumn(
+            "sset",
+            F.expr(f"array_distinct(transform({_shingle_sql(k=k)},"
+                   " s -> xxhash64(s)))")) \
+        .drop("text")
     banded = sigs.select(
         "doc_id",
         F.posexplode(

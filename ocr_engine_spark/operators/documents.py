@@ -38,6 +38,24 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_documents(spark, sf_dir)
 
 
+def q_manifest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven extraction (J3/S6, /root/reference/run.py:123-128): a small
+    include-list broadcast-semi-joined against the corpus BEFORE the kernel runs, so
+    only selected payloads cross the Python boundary."""
+    docs = load(spark, sf_dir, "documents")
+    manifest = spark.range(3, 100_000, 20).select(F.col("id").alias("doc_id"))
+    picked = docs.join(F.broadcast(manifest), "doc_id", "left_semi")
+    as_turns = picked.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = extract_transcripts(
+        as_turns, num_partitions=spark.sparkContext.defaultParallelism)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"), "extracted_text", "n_spans")
+
+
 def q_strip_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 strip-ratio aggregation: corpus-level extraction metrics per source, with the
     order-independent exact formula 1 - sum(extracted chars)/sum(raw chars)."""

@@ -109,6 +109,21 @@ def ivf_topk(corpus_assigned: DataFrame, queries_assigned: DataFrame,
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-probe IVF ANN search: queries (vec_id < 5) search only their own centroid
+    bucket — the O(N/C) scale path next to q_embedding_topk's exact O(N) baseline."""
+    emb = _as_double(load(spark, sf_dir, "embeddings"))
+    vecs = emb.select("vec_id", F.col("embedding").alias("emb"))
+    centroids = emb.where(F.col("vec_id") < 8)
+    assigned = (
+        ivf_assign(emb, centroids)
+        .join(vecs, "vec_id")
+        .select("vec_id", "emb", "centroid_id")
+    )
+    queries = assigned.where(F.col("vec_id") < 5)
+    return ivf_topk(assigned, queries, k=5)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the coarse bucket)."""
     emb = _as_double(load(spark, sf_dir, "embeddings"))
