@@ -11,12 +11,9 @@ from __future__ import annotations
 
 import pytest
 
+from ocr_engine_spark.plans import explain as plan
+
 SF = "/root/testdata/sf0.001"
-
-
-def plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
 
 
 @pytest.fixture(scope="module")
