@@ -159,30 +159,40 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard within same-source blocks (oracle-checkable blocked
-    quadratic baseline for the LSH path)."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.array_distinct(F.split(F.trim("text"), " +")).alias("wset"))
-    a = spread(docs).alias("a")
-    b = docs.alias("b")
-    # broadcast the build side: pair generation then parallelizes over a's partitions
-    # instead of one task per source block (at 100 TB you use the LSH path, not this
-    # oracle-checkable blocked-quadratic baseline)
+    """Exact word-set Jaccard within same-source blocks, via an inverted-index
+    (token-postings) self-join: |A∩B| = count of shared tokens per pair.
+
+    This replaces the per-pair ``array_intersect`` spelling — O(pairs x set size)
+    with every pair materializing both arrays — with explode + equi-join + count,
+    whose cost is sum over tokens of (docs sharing the token choose 2): the classic
+    scalable spelling (pairs that share nothing are never generated).  Identical
+    output to the DuckDB set-intersection oracle.
+    """
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "source", "text")) \
+        .withColumn("wset", F.array_distinct(F.split(F.trim("text"), " +"))) \
+        .select("doc_id", "source", "wset")
+    sizes = docs.select("doc_id", F.size("wset").alias("n"))
+    postings = docs.select("doc_id", "source", F.explode("wset").alias("tok"))
+    pairs = (
+        postings.alias("a")
+        .join(postings.alias("b"),
+              (F.col("a.source") == F.col("b.source"))
+              & (F.col("a.tok") == F.col("b.tok"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"),
+                 F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
     return (
-        a.join(F.broadcast(b), (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .withColumn("inter", F.size(F.array_intersect("a.wset", "b.wset")).cast("double"))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter")
-                    / (F.size("a.wset") + F.size("b.wset") - F.col("inter")), 6),
-        )
+        pairs.join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_id_a")
+                   .withColumnRenamed("n", "n_a"), "doc_id_a")
+        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_id_b")
+              .withColumnRenamed("n", "n_b"), "doc_id_b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter") / (F.col("n_a") + F.col("n_b")
+                                              - F.col("inter")), 6))
         .where(F.col("jaccard") >= 0.6)
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            "jaccard",
-        )
+        .select("doc_id_a", "doc_id_b", "jaccard")
     )
 
 
