@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — extraction pipeline (fused Arrow kernel) —
         "extract_documents": documents.q_extract_documents,
         "manifest_extract": documents.q_manifest_extract,
+        "explode_parts": documents.q_explode_parts,
         "strip_ratio_by_source": documents.q_strip_ratio_by_source,
         # — relational surface (joins / aggs / windows) —
         "pricing_summary": relational.q_pricing_summary,
@@ -125,6 +126,12 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(trim(text), '\\s+', ' ', 'g') AS extracted_text,
                    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE 1 END AS n_spans
             FROM documents WHERE doc_id % 20 = 3
+        """,
+        "explode_parts": r"""
+            WITH p AS (SELECT doc_id, string_split(text, ' table ') AS parts FROM documents)
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS part_idx,
+                   CAST(length(parts[CAST(i AS INTEGER)]) AS BIGINT) AS part_len
+            FROM p, unnest(generate_series(1, len(parts))) AS t(i)
         """,
         "strip_ratio_by_source": """
             SELECT source,

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "extract_documents",
     "manifest_extract",
+    "explode_parts",
     "strip_ratio_by_source",
     "pricing_summary",
     "top_revenue_orders",
@@ -117,6 +118,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = build_spark(cpus)
+
+    # warm the Python workers once: worker fork + kernel import is a per-executor
+    # constant, not a per-query cost, and would otherwise be charged to whichever
+    # kernel query happens to run first
+    import pandas as pd
+
+    from ocr_engine_spark.operators.extract import extract_transcripts
+
+    warm = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["w"] * (4 * cpus), "turn_idx": list(range(4 * cpus)),
+        "text": ["warm up"] * (4 * cpus)}))
+    force(extract_transcripts(warm.repartition(cpus)))
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -56,6 +56,22 @@ def q_manifest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").cast("bigint").alias("doc_id"), "extracted_text", "n_spans")
 
 
+def q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 multi-part payload explode (the PDF->pages analogue,
+    /root/reference/src/utils.py:231-237): one row per sentence part, keeping
+    (doc_id, part_idx) exactly like (conv_id, page_idx)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        # ' table ' occurs ~1.7x/doc in the synthetic corpus -> real multi-part rows
+        F.posexplode(F.split("text", " table ")).alias("part_idx", "part_text"),
+    ).select(
+        "doc_id",
+        F.col("part_idx").cast("int").alias("part_idx"),
+        F.length("part_text").cast("bigint").alias("part_len"),
+    )
+
+
 def q_strip_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 strip-ratio aggregation: corpus-level extraction metrics per source, with the
     order-independent exact formula 1 - sum(extracted chars)/sum(raw chars)."""

@@ -92,9 +92,12 @@ def q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        # substring(text, i, 8) == substring(substring(text,1,200), i, 8) for every
+        # generated i (windows never cross position 200), and avoids re-slicing a
+        # 200-char copy per lambda element (lambda bodies re-evaluate per element)
         F.expr(
-            "cast(size(array_distinct(transform(sequence(1, greatest(length(substring(text,1,200))-7, 1)),"
-            " i -> substring(substring(text,1,200), i, 8)))) as bigint)"
+            "cast(size(array_distinct(transform(sequence(1, greatest(least(length(text), 200)-7, 1)),"
+            " i -> substring(text, i, 8)))) as bigint)"
         ).alias("n_shingles"),
     )
 

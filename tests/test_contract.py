@@ -42,7 +42,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "asof_last_order", "event_range_page", "token_stats", "lang_id",
     "quality_score", "shingle_count", "fingerprint", "exact_dedup",
     "ngram_jaccard_pairs", "embedding_topk", "ivf_assign", "ivf_topk",
-    "embedding_neardup", "binary_features", "manifest_extract",
+    "embedding_neardup", "binary_features", "manifest_extract", "explode_parts",
 ])
 def test_query_matches_oracle(spark, entrymod, duck, name):
     from tools.check_contract import compare
