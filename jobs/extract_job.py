@@ -60,10 +60,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    if os.path.exists(args.input) or "/" in args.input:
-        transcripts = spark.read.parquet(args.input)
-    else:
-        transcripts = spark.read.table(args.input)
+    from ocr_engine_spark.sources.io import read_table
+
+    transcripts = read_table(spark, args.input)
 
     summary = run_extraction(
         spark, transcripts, args.output, run_id=args.run_id,

@@ -28,6 +28,7 @@ from ocr_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from ocr_engine_spark.operators.extract import (
     DEFAULT_SALT_BLOCK, _extract_batches, EXTRACTED_SCHEMA,
 )
+from ocr_engine_spark.sources.io import overwrite_partitions
 
 
 def with_bucket(df: DataFrame, n_buckets: int,
@@ -86,7 +87,7 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
             pending.repartition(n_buckets, "p")
             .mapInPandas(_pass_bucket(_extract_batches(cfg)), schema=out_schema)
         )
-        extracted.write.mode("overwrite").partitionBy("p").parquet(data_path)
+        overwrite_partitions(extracted, data_path, "p")
 
         # lineage + metrics AFTER data commit: a bucket without its metrics row reruns
         finished = time.time()
@@ -106,10 +107,11 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         )
         if done:  # only newly-run buckets get (re)written — dynamic overwrite by p
             metrics = metrics.where(~F.col("p").isin(sorted(done)))
-        metrics.select(
-            "run_id", "conv_ids", "turns", "spans", "strip_ratio",
-            "started", "finished", "status", "p",
-        ).write.mode("overwrite").partitionBy("p").parquet(metrics_path)
+        overwrite_partitions(
+            metrics.select(
+                "run_id", "conv_ids", "turns", "spans", "strip_ratio",
+                "started", "finished", "status", "p",
+            ), metrics_path, "p")
 
     ran = n_buckets - len(done)
     return {

@@ -1,0 +1,79 @@
+"""The dedup SQL expressions match plain-Python oracles on edge cases.
+
+The zip_with/aggregate spellings exist for per-row single-evaluation (see
+operators/dedup.py); these tests pin that the refactored expressions still compute
+the textbook definitions.
+"""
+
+import pandas as pd
+import pytest
+
+
+def py_shingles(text: str, k: int = 3) -> list[str]:
+    toks = [t for t in text.strip().split() if t != ""] or [""]
+    if text.strip() == "":
+        toks = [""]
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+CASES = [
+    "",
+    "   ",
+    "one",
+    "one two",
+    "one two three",
+    "one two three four five",
+    "a  b   c    d",  # runs of spaces collapse like split(' +')
+    "x " * 40,
+]
+
+
+def test_shingle_expr_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.dedup import _shingle_array
+
+    df = spark.createDataFrame(pd.DataFrame({"text": CASES}))
+    got = [r["sh"] for r in
+           df.select(_shingle_array().alias("sh")).collect()]
+    want = [py_shingles(t) for t in CASES]
+    assert got == want
+
+
+def test_minhash_signature_definition(spark):
+    """sig[j] == min over shingles of xxhash64(xxhash64(shingle), j), checked by
+    recomputing with independent SQL per (row, j)."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["one two three four", "alpha beta gamma"]}))
+    sigs = {r["doc_id"]: r["minhash"]
+            for r in minhash_signatures(docs, num_hashes=4).collect()}
+    for doc_id, text in ((1, "one two three four"), (2, "alpha beta gamma")):
+        for j in range(4):
+            want = spark.sql(
+                "SELECT min(xxhash64(xxhash64(s), {j})) AS m FROM "
+                "(SELECT explode(transform(sequence(0, size(split('{t}', ' ')) - 3), "
+                " i -> concat_ws(' ', slice(split('{t}', ' '), i + 1, 3)))) AS s)"
+                .format(j=j, t=text)).collect()[0]["m"]
+            assert sigs[doc_id][j] == want, (doc_id, j)
+
+
+def test_simhash_majority_definition(spark):
+    """Each fingerprint bit is the majority vote of that token-hash bit."""
+    from ocr_engine_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": ["spark engine extract content span"]}))
+    fp = simhash(docs).collect()[0]["simhash"]
+    toks = "spark engine extract content span".split()
+    hashes = [r["h"] for r in docs.sparkSession.sql(
+        "SELECT xxhash64(t) AS h FROM (SELECT explode(array({})) AS t)".format(
+            ",".join(f"'{t}'" for t in toks))).collect()]
+    for b in range(64):
+        votes = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+        assert ((fp >> b) & 1) == (1 if votes > 0 else 0), b
