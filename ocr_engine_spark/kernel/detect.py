@@ -33,6 +33,7 @@ import numpy as np
 _TEXTY = re.compile(r"[\w .,;:!?'’\-]")
 _NON_TEXTY = re.compile(r"[^\w .,;:!?'’\-]")
 _TAGLIKE = re.compile(r"<[A-Za-z!/][^>]*>")
+_NEWLINE_RE = re.compile("\n")
 
 
 def content_conf(s: str) -> float:
@@ -87,9 +88,8 @@ def parse_html(text: str):
     linky = np.zeros(len(text), dtype=bool)
     for m in _HTML_A_ZONE.finditer(text):
         linky[m.start():m.end()] = True
-    for i, ch in enumerate(text):
-        if ch == "\n":
-            blocked[i] = True
+    for m in _NEWLINE_RE.finditer(text):  # C-level scan, not per-char Python
+        blocked[m.start()] = True
 
     spans = []
     n = len(text)

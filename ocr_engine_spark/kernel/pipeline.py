@@ -18,6 +18,8 @@ the Spark layer (one call per Arrow batch — zero per-row Python at the Spark b
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -29,18 +31,25 @@ from ocr_engine_spark.kernel.spans import prepare_spans, slice_text
 from ocr_engine_spark.kernel.stitch import SpanWord, words_formation
 
 
+_NEWLINE = re.compile("\n")
+
+
 def _line_geometry(text: str):
     """Start offsets of every line (for offset -> (line, column) mapping) and the page
-    width = longest line length in characters (the img.shape[1] analogue)."""
-    starts = [0]
-    for i, ch in enumerate(text):
-        if ch == "\n":
-            starts.append(i + 1)
+    width = longest line length in characters (the img.shape[1] analogue).
+
+    C-level newline scan (re.finditer) instead of a per-character Python loop — this
+    runs over the full payload of every turn, so it must not be O(len) in Python.
+    """
+    starts = [0] + [m.end() for m in _NEWLINE.finditer(text)]
     arr = np.asarray(starts, dtype=np.int64)
-    width = 1
-    for j, s in enumerate(starts):
-        e = starts[j + 1] - 1 if j + 1 < len(starts) else len(text)
-        width = max(width, e - s)
+    if len(starts) == 1:
+        width = len(text)
+    else:
+        ends = np.empty(len(starts), dtype=np.int64)
+        ends[:-1] = arr[1:] - 1
+        ends[-1] = len(text)
+        width = int((ends - arr).max())
     return arr, max(width, 1)
 
 
