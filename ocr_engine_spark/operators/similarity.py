@@ -132,8 +132,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
                    F.col("label").alias("lbl"))
     return (
-        a.join(b, "lbl")
-        .where(F.col("id_a") < F.col("id_b"))
+        a.join(broadcast(b), "lbl")  # embedding table is dimension-sized; pair
+        .where(F.col("id_a") < F.col("id_b"))  # generation parallelizes over a
         .withColumn("score", F.round(_cosine("emb_a", "emb_b"), 6))
         .where(F.col("score") >= 0.9)
         .select("id_a", "id_b", "score")
