@@ -33,6 +33,10 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True,
                     help="transcripts table path (parquet dir/file) or table name")
+    ap.add_argument("--input-flavor", choices=("parquet", "table", "auto"),
+                    default="auto",
+                    help="storage flavor of --input; pass explicitly on clusters "
+                         "instead of relying on path-shape inference")
     ap.add_argument("--output", required=True, help="output root dir")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--n-buckets", type=int, default=32,
@@ -62,7 +66,7 @@ def main() -> None:
 
     from ocr_engine_spark.sources.io import read_table
 
-    transcripts = read_table(spark, args.input)
+    transcripts = read_table(spark, args.input, flavor=args.input_flavor)
 
     summary = run_extraction(
         spark, transcripts, args.output, run_id=args.run_id,

@@ -65,7 +65,6 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
 
     Returns a summary dict {run_id, buckets_total, buckets_done_before, buckets_run}.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     data_path = os.path.join(out_dir, "extracted")
     metrics_path = os.path.join(out_dir, "run_metrics")
 
@@ -77,7 +76,7 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         pending = bucketed.where(~F.col("p").isin(sorted(done)))  # resume anti-filter
 
     started = time.time()
-    if pending.limit(1).count() > 0:
+    if not pending.isEmpty():  # short-circuit probe, no extra full-count job
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         # fresh StructType: .add() would mutate the shared EXTRACTED_SCHEMA

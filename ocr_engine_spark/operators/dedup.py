@@ -24,10 +24,15 @@ LONG_MAX = (1 << 63) - 1
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Spread a small single-file scan across all cores before expression-heavy
     projections.  The bench tables arrive as one parquet file = one input split, which
-    would serialize the whole hash computation onto one task; at cluster scale the
-    scan has thousands of splits and this repartition is tuned away (AQE coalesces)."""
+    would serialize the whole hash computation onto one task.  Conditional: when the
+    scan already has enough splits (the cluster-scale case — thousands of byte-bounded
+    splits), this is a no-op, so a well-laid-out source never pays a gratuitous
+    full-corpus shuffle."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * factor)
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(target)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

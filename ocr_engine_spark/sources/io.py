@@ -1,10 +1,14 @@
 """Thin pluggable table layer (SURVEY.md §7: Parquet now, Iceberg when a catalog is
 wired) so engine code and jobs never hard-code a storage flavor.
 
-Resolution rule: a source string containing a path separator or pointing at an
-existing file/dir is a Parquet location; anything else is a catalog table name
-(`spark.read.table` / `DataFrame.writeTo` — the Iceberg path on a real cluster;
-this sandbox has no Iceberg jars, which is why the seam exists).
+The storage flavor is an EXPLICIT parameter (``flavor``): "parquet" for a filesystem
+location, "table" for a catalog table (`spark.read.table` / `DataFrame.writeTo` — the
+Iceberg path on a real cluster; this sandbox has no Iceberg jars, which is why the
+seam exists).  ``flavor="auto"`` keeps the old heuristic for convenience call sites,
+but auto-resolution REQUIRES a path marker (separator, ``.parquet`` suffix, or an
+existing target) before it will treat the string as a location — and jobs always pass
+the flavor explicitly, so a slash-free not-yet-existing output like ``--output out``
+is never silently misrouted to the catalog.
 """
 
 from __future__ import annotations
@@ -13,32 +17,51 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-
-def is_path(source: str) -> bool:
-    return os.path.exists(source) or "/" in source or source.endswith(".parquet")
+FLAVORS = ("parquet", "table", "auto")
 
 
-def read_table(spark: SparkSession, source: str) -> DataFrame:
+def resolve_flavor(source: str, flavor: str = "auto") -> str:
+    if flavor not in FLAVORS:
+        raise ValueError(f"flavor must be one of {FLAVORS}, got {flavor!r}")
+    if flavor != "auto":
+        return flavor
+    looks_like_path = (
+        os.path.exists(source) or os.sep in source or "/" in source
+        or source.endswith(".parquet")
+    )
+    return "parquet" if looks_like_path else "table"
+
+
+def read_table(spark: SparkSession, source: str, flavor: str = "auto") -> DataFrame:
     """Parquet path or catalog table -> DataFrame."""
-    if is_path(source):
+    if resolve_flavor(source, flavor) == "parquet":
         return spark.read.parquet(source)
     return spark.read.table(source)
 
 
-def append_table(df: DataFrame, target: str) -> None:
+def append_table(df: DataFrame, target: str, flavor: str = "auto") -> None:
     """Append rows (Iceberg `writeTo(...).append()` / Parquet append)."""
-    if is_path(target):
+    if resolve_flavor(target, flavor) == "parquet":
         df.write.mode("append").parquet(target)
     else:
         df.writeTo(target).append()
 
 
-def overwrite_partitions(df: DataFrame, target: str, partition_col: str) -> None:
+def overwrite_partitions(df: DataFrame, target: str, partition_col: str,
+                         flavor: str = "auto") -> None:
     """Idempotent per-partition overwrite — the checkpoint protocol's commit
-    primitive (Iceberg `overwritePartitions`; Parquet dynamic partition overwrite)."""
-    if is_path(target):
-        df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+    primitive (Iceberg `overwritePartitions`; Parquet dynamic partition overwrite).
+
+    The overwrite mode is a per-write ``.option`` — NOT a session-conf mutation —
+    so unrelated ``mode("overwrite").partitionBy`` writes in the same session keep
+    their configured semantics.
+    """
+    if resolve_flavor(target, flavor) == "parquet":
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(target)
+        )
     else:
         df.writeTo(target).overwritePartitions()
