@@ -163,42 +163,73 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard within same-source blocks, via an inverted-index
-    (token-postings) self-join: |A∩B| = count of shared tokens per pair.
+def ngram_jaccard_pairs(docs: DataFrame, threshold_num: int = 3,
+                        threshold_den: int = 5) -> DataFrame:
+    """Exact word-set Jaccard >= t within same-source blocks, via PREFIX-FILTERED
+    inverted-index candidate generation (the ppjoin argument, kept exact).
 
-    This replaces the per-pair ``array_intersect`` spelling — O(pairs x set size)
-    with every pair materializing both arrays — with explode + equi-join + count,
-    whose cost is sum over tokens of (docs sharing the token choose 2): the classic
-    scalable spelling (pairs that share nothing are never generated).  Identical
-    output to the DuckDB set-intersection oracle.
+    The naive token-postings self-join costs sum over tokens of df(token)^2 —
+    corpus-stopwords ("the") make that quadratic in corpus size.  Prefix filtering
+    bounds it: order every doc's tokens by GLOBAL document frequency ascending
+    (rarest first, ties by token), and keep only the first ``n - ceil(t*n) + 1``
+    tokens as join keys.  Any pair with J(A,B) >= t has overlap >= ceil(t*|A|)
+    (since i >= t*(a+b-i) and b >= i imply i >= t*a), so the globally-smallest
+    shared token lies inside BOTH prefixes — candidate generation over prefixes
+    alone has perfect recall, and stop-frequency tokens (sorted last) almost never
+    appear in a prefix.  Candidates are then verified with the full exact
+    intersection, so the output is byte-identical to the all-pairs oracle.
+
+    ``t = threshold_num/threshold_den`` is kept rational so the prefix length uses
+    exact integer ceil (no float-boundary risk): ceil(t*n) = (num*n + den-1) div den.
     """
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "source", "text")) \
-        .withColumn("wset", F.array_distinct(F.split(F.trim("text"), " +"))) \
+    t = threshold_num / threshold_den
+    docs = (
+        docs.withColumn("wset", F.array_distinct(F.split(F.trim("text"), " +")))
         .select("doc_id", "source", "wset")
-    sizes = docs.select("doc_id", F.size("wset").alias("n"))
-    postings = docs.select("doc_id", "source", F.explode("wset").alias("tok"))
-    pairs = (
-        postings.alias("a")
-        .join(postings.alias("b"),
+    )
+    postings = docs.select(
+        "doc_id", "source", F.size("wset").alias("n"), F.explode("wset").alias("tok"))
+    tok_df = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix = (
+        postings.join(tok_df, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n")
+               - F.expr(f"(({threshold_num} * n + {threshold_den - 1})"
+                        f" div {threshold_den})") + 1)
+        .select("doc_id", "source", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
               (F.col("a.source") == F.col("b.source"))
               & (F.col("a.tok") == F.col("b.tok"))
               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"),
-                 F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
     )
+    sets = docs.select("doc_id", "wset")
     return (
-        pairs.join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_id_a")
-                   .withColumnRenamed("n", "n_a"), "doc_id_a")
-        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_id_b")
-              .withColumnRenamed("n", "n_b"), "doc_id_b")
+        cand.join(sets.withColumnRenamed("doc_id", "doc_id_a")
+                  .withColumnRenamed("wset", "set_a"), "doc_id_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_id_b")
+              .withColumnRenamed("wset", "set_b"), "doc_id_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("set_a", "set_b")).cast("double"))
         .withColumn("jaccard",
-                    F.round(F.col("inter") / (F.col("n_a") + F.col("n_b")
+                    F.round(F.col("inter") / (F.size("set_a") + F.size("set_b")
                                               - F.col("inter")), 6))
-        .where(F.col("jaccard") >= 0.6)
+        .where(F.col("jaccard") >= t)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    return ngram_jaccard_pairs(docs, threshold_num=3, threshold_den=5)
 
 
 def simhash(docs: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:

@@ -145,17 +145,42 @@ def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase event, the customer's most recent order at event
-    time (SURVEY.md §2.3 — the graft engine's as-of surface)."""
-    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    orders = load(spark, sf_dir, "orders")
-    joined = ev.join(
-        orders,
-        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
-        "left",
+    time (SURVEY.md §2.3 — the graft engine's as-of surface).
+
+    True as-of merge: union orders and events on a shared timeline per user, then ONE
+    running window (rows unbounded preceding) carries last-order-time and prior-order
+    count to each event row.  Intermediate cardinality is O(events + orders) — never
+    the O(events x prior-orders) row explosion of the naive range-join + groupBy
+    spelling (a heavy user with 10^4 orders x 10^4 events would be 10^8 rows there).
+    Orders sort BEFORE events at equal timestamps (is_order desc) so the
+    ``o_orderdate <= ts`` inclusive bound holds.
+    """
+    from pyspark.sql.window import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("t"),
+                F.lit(0).alias("is_order"), "event_id")
     )
-    return joined.groupBy("event_id").agg(
-        F.max("o_orderdate").alias("last_order_ts"),
-        F.count("o_orderkey").alias("n_prior_orders"),
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"), F.lit(None).cast("long").alias("event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("is_order"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = orders.unionByName(ev).select(
+        "event_id", "is_order",
+        F.max(F.when(F.col("is_order") == 1, F.col("t"))).over(w)
+        .alias("last_order_ts"),
+        F.sum("is_order").over(w).alias("n_prior_orders"),
+    )
+    return (
+        timeline.where(F.col("is_order") == 0)
+        .select("event_id", "last_order_ts", "n_prior_orders")
     )
 
 

@@ -63,6 +63,67 @@ def test_minhash_signature_definition(spark):
             assert sigs[doc_id][j] == want, (doc_id, j)
 
 
+def test_prefix_filter_exact_vs_brute_force(spark):
+    """Prefix-filtered candidate generation loses NO pair: output equals the
+    all-pairs brute force on a corpus built to stress it — every doc shares the
+    stop tokens ('the', 'of'), near-dup pairs differ in one rare token."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = []
+    for i in range(30):
+        rare = f"w{i}a w{i}b w{i}c w{i}d"
+        rows.append((2 * i, "s", f"the of and {rare} common tail"))
+        rows.append((2 * i + 1, "s", f"the of and {rare} common tip"))  # J = 8/10
+    rows.append((1000, "s", "the of and totally different words here now"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+
+    got = sorted(map(tuple, ngram_jaccard_pairs(docs, 3, 5).collect()))
+
+    d = docs.withColumn("wset", F.array_distinct(F.split(F.trim("text"), " +")))
+    brute = (
+        d.alias("a").join(d.alias("b"),
+                          (F.col("a.source") == F.col("b.source"))
+                          & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn("inter", F.size(
+            F.array_intersect("a.wset", "b.wset")).cast("double"))
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.size("a.wset") + F.size("b.wset")
+                              - F.col("inter")), 6))
+        .where(F.col("jaccard") >= 0.6)
+        .select(F.col("a.doc_id"), F.col("b.doc_id"), "jaccard")
+    )
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and len(got) == 30  # each rare-pair qualifies, odd doc none
+
+
+def test_prefix_postings_drop_stop_tokens(spark):
+    """The stop tokens every doc shares must NOT appear among the prefix join keys
+    (they sort last by df), so the df^2 candidate blowup is structurally gone."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(20)), "source": ["s"] * 20,
+        "text": [f"the of and unique{i} spare{i} extra{i} more{i} token{i} "
+                 f"pad{i} fill{i}" for i in range(20)],
+    }))
+    d = docs.withColumn("wset", F.array_distinct(F.split(F.trim("text"), " +")))
+    postings = d.select("doc_id", "source", F.size("wset").alias("n"),
+                        F.explode("wset").alias("tok"))
+    tok_df = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix_toks = {
+        r["tok"] for r in postings.join(tok_df, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n") - F.expr("((3 * n + 4) div 5)") + 1)
+        .select("tok").distinct().collect()
+    }
+    assert not prefix_toks & {"the", "of", "and"}
+
+
 def test_simhash_majority_definition(spark):
     """Each fingerprint bit is the majority vote of that token-hash bit."""
     from ocr_engine_spark.operators.dedup import simhash

@@ -59,6 +59,15 @@ def test_dedup_stays_jvm_side(q):
         assert "EvalPython" not in p, f"{name} fell back to Python"
 
 
+def test_asof_is_union_window_not_range_join(q):
+    # true as-of merge: a union + one running window — NO join node at all, so the
+    # intermediate cardinality is O(events + orders), never events x prior-orders
+    p = plan(q["asof_last_order"])
+    assert "Window" in p
+    assert "Join" not in p, "as-of fell back to a row-exploding range join"
+    assert "Union" in p
+
+
 def test_pricing_summary_partial_agg(q):
     # map-side combine: two HashAggregates (partial + final) around one exchange
     p = plan(q["pricing_summary"])
