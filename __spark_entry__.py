@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": similarity.q_ivf_assign,
         "ivf_topk": similarity.q_ivf_topk,
         "embedding_neardup": similarity.q_embedding_neardup,
+        "embedding_neardup_ivf": similarity.q_embedding_neardup_ivf,
         # — multimodal plumbing —
         "binary_features": multimodal.q_binary_features,
     }
@@ -298,6 +299,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, score FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS score
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            WHERE score >= 0.9
+        """,
+        "embedding_neardup_ivf": f"""
+            WITH e AS ({_EMB}),
+            assigned AS (
+              SELECT vec_id, emb, label, centroid_id FROM (
+                SELECT v.vec_id, v.emb, v.label, c.vec_id AS centroid_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_COSINE.format(a="v.emb", b="c.emb")} DESC, c.vec_id) AS rn
+                FROM e v JOIN e c ON c.vec_id < 8) WHERE rn <= 2),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assigned a JOIN assigned b
+                ON a.label = b.label AND a.centroid_id = b.centroid_id
+               AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, score FROM (
+              SELECT id_a, id_b, {cos_ab} AS score
+              FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
             WHERE score >= 0.9
         """,
         "binary_features": """

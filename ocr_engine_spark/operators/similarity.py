@@ -60,9 +60,13 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    """IVF coarse quantization: nearest centroid per vector (broadcast centroids,
-    argmax by rounded cosine with centroid-id tie-break)."""
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               probes: int = 1) -> DataFrame:
+    """IVF coarse quantization: nearest ``probes`` centroids per vector (broadcast
+    centroids — a genuinely bounded side — argmax by rounded cosine with centroid-id
+    tie-break).  ``probes > 1`` is the multi-probe assignment used for bucketed
+    near-dup blocking (a vector belongs to its top-k buckets, so near neighbors that
+    straddle a Voronoi boundary still share a bucket)."""
     from pyspark.sql.window import Window
 
     c = _as_double(corpus).select("vec_id", F.col("embedding").alias("emb"))
@@ -73,7 +77,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= probes)
         .select("vec_id", "centroid_id", F.col("score").alias("centroid_score"))
     )
 
@@ -125,16 +129,68 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label (the coarse bucket)."""
+    """Embedding-cosine near-duplicate pairs, blocked by label (the coarse bucket).
+
+    Exact within label blocks.  NO broadcast hint: the corpus side is unbounded, and
+    a forced broadcast of the full embedding table OOMs the driver at any realistic
+    corpus size — ``autoBroadcastJoinThreshold``/AQE pick the strategy from actual
+    size stats instead (sort-merge at scale, broadcast only when genuinely tiny).
+    For corpora where label blocks themselves are huge, use the bucketed
+    ``q_embedding_neardup_ivf`` scale path.
+    """
     emb = _as_double(load(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
                    F.col("label").alias("lbl"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
                    F.col("label").alias("lbl"))
     return (
-        a.join(broadcast(b), "lbl")  # embedding table is dimension-sized; pair
-        .where(F.col("id_a") < F.col("id_b"))  # generation parallelizes over a
+        a.join(b, "lbl")
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn("score", F.round(_cosine("emb_a", "emb_b"), 6))
         .where(F.col("score") >= 0.9)
         .select("id_a", "id_b", "score")
     )
+
+
+def embedding_neardup_ivf(emb: DataFrame, centroids: DataFrame,
+                          probes: int = 2, threshold: float = 0.9) -> DataFrame:
+    """Bucketed near-dup: candidates must share a (label, IVF-bucket) block.
+
+    The 100 TB path: each vector is assigned to its top-``probes`` centroid buckets
+    (multi-probe, so boundary-straddling neighbors still collide), pairs are
+    generated ONLY within (label, bucket) — never across the full label block — and
+    every candidate is verified with the exact cosine.  Pair-generation cost drops
+    from sum over labels of N_label^2 to sum over (label, bucket) cells of
+    N_cell^2 ~ N_label^2 * probes^2 / C, tunable by centroid count C.  The bucketing
+    is deterministic (rounded-score argmax, centroid-id tie-break), so the whole
+    pipeline — including candidate generation — replays exactly in the SQL oracle.
+    """
+    vecs = _as_double(emb).select(
+        "vec_id", F.col("embedding").alias("emb"), "label")
+    assigned = (
+        ivf_assign(vecs.select("vec_id", F.col("emb").alias("embedding")),
+                   centroids, probes=probes)
+        .join(vecs, "vec_id")
+        .select("vec_id", "emb", "label", "centroid_id")
+    )
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
+                        F.col("label").alias("lbl"), "centroid_id")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
+                        F.col("label").alias("lbl"), "centroid_id")
+    cand = (
+        a.join(b, ["lbl", "centroid_id"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "emb_a", "id_b", "emb_b")
+        .dropDuplicates(["id_a", "id_b"])  # multi-probe can collide in >1 bucket
+    )
+    return (
+        cand.withColumn("score", F.round(_cosine("emb_a", "emb_b"), 6))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    return embedding_neardup_ivf(emb, centroids, probes=2, threshold=0.9)

@@ -59,6 +59,31 @@ def test_dedup_stays_jvm_side(q):
         assert "EvalPython" not in p, f"{name} fell back to Python"
 
 
+def test_neardup_never_forces_corpus_broadcast(q, spark):
+    # the embedding table is unbounded: neither near-dup variant may carry a
+    # broadcast HINT on it — the optimizer must stay free to sort-merge at scale
+    # (auto-broadcast from size stats at sf0.001 is fine and size-aware)
+    from ocr_engine_spark.plans import explain as plan_str
+
+    def hint_count(name):
+        logical = plan_str(q[name], mode="extended")
+        head = logical.split("== Optimized Logical Plan ==")[0]
+        return head.lower().count("hint")
+
+    # exact variant: zero hints anywhere
+    assert hint_count("embedding_neardup") == 0
+    # ivf variant: the only hinted side is the 8-row centroid table, whose subtree
+    # appears 4x (parsed + analyzed plan sections, a + b sides of the self-join);
+    # a hint on the corpus pair join would push this count past 4
+    assert hint_count("embedding_neardup_ivf") <= 4
+
+
+def test_neardup_ivf_blocks_by_bucket(q):
+    # candidate generation joins on (label, centroid bucket), not label alone
+    p = plan(q["embedding_neardup_ivf"])
+    assert "centroid_id" in p
+
+
 def test_asof_is_union_window_not_range_join(q):
     # true as-of merge: a union + one running window — NO join node at all, so the
     # intermediate cardinality is O(events + orders), never events x prior-orders

@@ -1,0 +1,96 @@
+"""Similarity operators on planted data: non-empty, value-checked results.
+
+The contract queries run against the driver's random embeddings where no pair
+clears the 0.9 near-dup threshold (0 rows — a trivially-green oracle).  These
+tests plant real near-duplicates so candidate generation + verification are
+exercised with data, and the bucketed IVF path is compared against the exact
+brute force it approximates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _planted_embeddings(dim: int = 16, n_base: int = 20, seed: int = 5):
+    """n_base well-separated base vectors + a >=0.99-cosine twin for each of the
+    first 10, all labeled into 2 label blocks.  vec_id < 8 are the centroids."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v, f"l{i % 2}"))
+    for i in range(10):  # twins: tiny perturbation -> cosine ~0.999
+        tw = base[i] + 0.01 * rng.normal(size=dim)
+        rows.append((100 + i, tw / np.linalg.norm(tw), f"l{i % 2}"))
+    return pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].astype("float32").tolist() for r in rows],
+         "label": [r[2] for r in rows]})
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    return spark.createDataFrame(_planted_embeddings())
+
+
+def _brute_pairs(spark, planted):
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.similarity import _as_double, _cosine
+
+    emb = _as_double(planted)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("emb_a"), F.col("label").alias("lbl"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("emb_b"), F.col("label").alias("lbl"))
+    return (
+        a.join(b, "lbl").where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(_cosine("emb_a", "emb_b"), 6))
+        .where(F.col("score") >= 0.9)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def test_ivf_neardup_finds_planted_twins(spark, planted):
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.similarity import embedding_neardup_ivf
+
+    centroids = planted.where(F.col("vec_id") < 8)
+    got = sorted(map(tuple, embedding_neardup_ivf(
+        planted, centroids, probes=2).collect()))
+    want = sorted(map(tuple, _brute_pairs(spark, planted).collect()))
+    # every planted twin pair is a true near-dup; a twin sits ~0.999-cosine from its
+    # base, so both assign to the same top-1 centroid -> bucketed recall is exact here
+    assert len(want) >= 10
+    assert got == want
+
+
+def test_ivf_multiprobe_dedups_pairs(spark, planted):
+    # a pair colliding in BOTH probe buckets must appear once, not twice
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.similarity import embedding_neardup_ivf
+
+    centroids = planted.where(F.col("vec_id") < 8)
+    out = embedding_neardup_ivf(planted, centroids, probes=2).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_ivf_assign_multiprobe_rows(spark, planted):
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.similarity import ivf_assign
+
+    centroids = planted.where(F.col("vec_id") < 8)
+    n_vecs = planted.count()
+    assigned = ivf_assign(planted, centroids, probes=2)
+    assert assigned.count() == 2 * n_vecs
+    # rank-1 rows alone reproduce the single-probe assignment
+    single = ivf_assign(planted, centroids, probes=1)
+    assert single.count() == n_vecs
