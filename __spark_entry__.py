@@ -57,8 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — deduplication —
         "exact_dedup": dedup.q_exact_dedup,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # rows-only (xxhash64)
-        "simhash": dedup.q_simhash,                      # rows-only (xxhash64)
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "simhash": dedup.q_simhash,
         # — similarity search —
         "embedding_topk": similarity.q_embedding_topk,
         "ivf_assign": similarity.q_ivf_assign,
@@ -258,6 +258,69 @@ def oracle_sql() -> dict[str, str]:
                            / (len(a.wset) + len(b.wset) - CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)), 6) AS jaccard
               FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.6
+        """,
+        # md5-affine hash family (operators/dedup.py): a = int(md5[0:15], 16),
+        # b = int(md5[16:30], 16), h_j = a + j*b — bit-identical in both engines,
+        # so signatures, band buckets, and verification sets all replay here.
+        "minhash_lsh_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     [concat_ws(' ', tk[CAST(i AS INTEGER)], tk[CAST(i+1 AS INTEGER)],
+                                tk[CAST(i+2 AS INTEGER)])
+                      for i in generate_series(1, greatest(len(tk) - 2, 1))] AS shingles
+              FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                    FROM documents)),
+            ab AS (
+              SELECT doc_id,
+                     [CAST('0x' || substr(m, 1, 15) AS BIGINT) for m in ms] AS av,
+                     [CAST('0x' || substr(m, 17, 14) AS BIGINT) for m in ms] AS bv
+              FROM (SELECT doc_id, [md5(s) for s in shingles] AS ms FROM sh)),
+            sset AS (SELECT doc_id, list_distinct(av) AS s FROM ab),
+            sigj AS (
+              SELECT doc_id, j,
+                     min(av[CAST(i AS INTEGER)] + j * bv[CAST(i AS INTEGER)]) AS mh
+              FROM ab,
+                   unnest(generate_series(0, 15)) AS gj(j),
+                   unnest(generate_series(1, len(av))) AS gi(i)
+              GROUP BY doc_id, j),
+            sig AS (SELECT doc_id, list(mh ORDER BY j) AS minhash
+                    FROM sigj GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, b AS band,
+                     CAST('0x' || substr(md5(concat_ws(',',
+                          minhash[CAST(2*b+1 AS INTEGER)],
+                          minhash[CAST(2*b+2 AS INTEGER)])), 1, 15) AS BIGINT) AS bucket
+              FROM sig, unnest(generate_series(0, 7)) AS gb(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+            SELECT doc_id_a, doc_id_b, jaccard FROM (
+              SELECT doc_id_a, doc_id_b,
+                     round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                           / (len(sa.s) + len(sb.s)
+                              - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6)
+                       AS jaccard
+              FROM cand JOIN sset sa ON sa.doc_id = doc_id_a
+                        JOIN sset sb ON sb.doc_id = doc_id_b)
+            WHERE jaccard >= 0.5
+        """,
+        "simhash": """
+            WITH h AS (
+              SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv
+              FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                    FROM documents), unnest(tk) AS u(t)),
+            votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN ((hv >> CAST(b AS INTEGER)) & 1) = 1
+                         THEN 1 ELSE -1 END) AS v
+              FROM h, unnest(generate_series(0, 59)) AS g(b)
+              GROUP BY doc_id, b)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                        ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
         """,
         "embedding_topk": f"""
             WITH e AS ({_EMB}),

@@ -75,23 +75,62 @@ def _shingle_array(col: str = "text", k: int = 3):
     return F.expr(_shingle_sql(col, k))
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """Per-row MinHash signature: sig[j] = min over shingles of a j-seeded rehash.
+# --- hash families ----------------------------------------------------------
+#
+# "xxhash64": fastest JVM path (one xxhash64 per shingle + numeric rehash per j) —
+#   the production default; NOT reproducible outside Spark.
+# "md5": cross-engine-verifiable family.  For a string s with m = md5(s) hex:
+#   a(s) = int(m[0:15], 16)   (60 bits)     b(s) = int(m[16:30], 16)  (56 bits)
+#   h_j(s) = a + j*b  — an affine one-hash family; max value 2^60 + 15*2^56 < 2^62,
+#   so the arithmetic never overflows int64 in either engine.  DuckDB computes the
+#   identical integers via CAST('0x' || substr(md5(s), ...) AS BIGINT), which is
+#   what makes the whole LSH pipeline (signatures, band buckets, verification sets)
+#   value-checkable against the SQL oracle.
+
+HASH_FAMILIES = ("xxhash64", "md5")
+
+
+def _md5_prefix_sql(expr: str, start: int = 1, length: int = 15) -> str:
+    """60-bit (default) integer from an md5-hex substring — same in DuckDB."""
+    return f"cast(conv(substr(md5({expr}), {start}, {length}), 16, 10) as bigint)"
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
+                       family: str = "xxhash64") -> DataFrame:
+    """Per-row MinHash signature: sig[j] = min over shingles of a j-seeded hash.
 
     One array expression per row; zero shuffles.  Each shingle string is hashed ONCE
-    (xxhash64), then the ``num_hashes`` hash family is derived by numeric rehash
-    xxhash64(h, j) — the classic one-hash MinHash construction.  The whole signature
-    is a single ``aggregate`` fold whose input array sits in operand position, so the
-    shingle build + base hashing run once per row (a ``transform(sequence(0, H-1),
-    j -> aggregate(shingles, ...))`` spelling re-evaluated the shingle pipeline per
-    hash index: 16x the work).
+    (the ``num_hashes`` family derives numerically: xxhash64(h, j) rehash or the
+    md5-affine a + j*b), and the whole signature is a single ``aggregate`` fold whose
+    input array sits in operand position, so the shingle build + base hashing run
+    once per row (a ``transform(sequence(0, H-1), j -> aggregate(shingles, ...))``
+    spelling re-evaluated the shingle pipeline per hash index: 16x the work).
     """
-    sig = F.expr(
-        f"aggregate(transform(shingles, s -> xxhash64(s)),"
-        f" array_repeat({LONG_MAX}L, {num_hashes}),"
-        f" (acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}),"
-        f"  (m, j) -> least(m, xxhash64(h, j))))"
-    )
+    if family not in HASH_FAMILIES:
+        raise ValueError(f"family must be one of {HASH_FAMILIES}")
+    if family == "xxhash64":
+        sig = F.expr(
+            f"aggregate(transform(shingles, s -> xxhash64(s)),"
+            f" array_repeat({LONG_MAX}L, {num_hashes}),"
+            f" (acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}),"
+            f"  (m, j) -> least(m, xxhash64(h, j))))"
+        )
+    else:
+        # chained transforms: md5(s) is computed once per shingle, then both affine
+        # coefficients slice the same hex (a lambda computing md5 twice would double
+        # the crypto work per element)
+        pairs = (
+            "transform(transform(shingles, s -> md5(s)),"
+            " m -> named_struct("
+            "'a', cast(conv(substr(m, 1, 15), 16, 10) as bigint),"
+            " 'b', cast(conv(substr(m, 17, 14), 16, 10) as bigint)))"
+        )
+        sig = F.expr(
+            f"aggregate({pairs},"
+            f" array_repeat({LONG_MAX}L, {num_hashes}),"
+            f" (acc, p) -> zip_with(acc, sequence(0, {num_hashes - 1}),"
+            f"  (m, j) -> least(m, p.a + j * p.b)))"
+        )
     return (
         docs.withColumn("shingles", _shingle_array(k=k))
         .where(F.size("shingles") > 0)
@@ -101,28 +140,32 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> Dat
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
-                      k: int = 3, jaccard_threshold: float = 0.7) -> DataFrame:
+                      k: int = 3, jaccard_threshold: float = 0.7,
+                      family: str = "xxhash64") -> DataFrame:
     """MinHash LSH near-dup pairs: band -> bucket-join -> exact-Jaccard verification.
 
     Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
     """
     rows = num_hashes // bands
     # verification sets hold hashed shingles: bigint array_intersect is far cheaper
-    # than string intersect and Jaccard over distinct 64-bit shingle hashes equals
-    # string-set Jaccard up to xxhash64 collisions (~2^-64 per pair)
-    sigs = minhash_signatures(docs.select("doc_id", "text"), num_hashes, k) \
-        .withColumn(
-            "sset",
-            F.expr(f"array_distinct(transform({_shingle_sql(k=k)},"
-                   " s -> xxhash64(s)))")) \
+    # than string intersect and Jaccard over distinct shingle hashes equals
+    # string-set Jaccard up to hash collisions (~2^-60 per pair)
+    if family == "xxhash64":
+        shingle_hash = f"transform({_shingle_sql(k=k)}, s -> xxhash64(s))"
+        bucket_hash = (f"b -> xxhash64(concat_ws(',',"
+                       f" slice(minhash, b * {rows} + 1, {rows})))")
+    else:
+        shingle_hash = (f"transform({_shingle_sql(k=k)},"
+                        f" s -> {_md5_prefix_sql('s')})")
+        joined = f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))"
+        bucket_hash = f"b -> {_md5_prefix_sql(joined)}"
+    sigs = minhash_signatures(docs.select("doc_id", "text"), num_hashes, k, family) \
+        .withColumn("sset", F.expr(f"array_distinct({shingle_hash})")) \
         .drop("text")
     banded = sigs.select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> xxhash64(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))))"
-            )
+            F.expr(f"transform(sequence(0, {bands - 1}), {bucket_hash})")
         ).alias("band", "bucket"),
     )
     cand = (
@@ -159,8 +202,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract spelling uses the md5-affine family so every stage — signatures,
+    band buckets, candidate join, exact-Jaccard verification — replays in the
+    DuckDB oracle and the result is value-checked, not rows-only.  Production
+    corpora that don't need cross-engine verification use family='xxhash64'."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5, family="md5")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold_num: int = 3,
@@ -232,17 +279,29 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold_num=3, threshold_den=5)
 
 
-def simhash(docs: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
-    """Per-row 64-bit SimHash: bit b of the fingerprint = majority vote of token-hash
+def simhash(docs: DataFrame, col: str = "text", bits: int = 64,
+            family: str = "xxhash64") -> DataFrame:
+    """Per-row SimHash: bit b of the fingerprint = majority vote of token-hash
     bit b (bitwise weighted sum fold, one expression, no shuffle).
 
-    Single pass over the tokens: each token is hashed once and its 64 bit-votes are
+    Single pass over the tokens: each token is hashed once and its bit-votes are
     folded into an accumulator array (``aggregate`` input in operand position — the
     previous per-bit outer fold re-split and re-hashed the text 64 times per row).
+
+    family='md5' uses the 60-bit md5-prefix hash (bits capped at 60) so the
+    fingerprint is reproducible in the DuckDB oracle; 'xxhash64' is the fast
+    64-bit production default.
     """
+    if family not in HASH_FAMILIES:
+        raise ValueError(f"family must be one of {HASH_FAMILIES}")
     toks = f"split(trim({col}), ' +')"
+    if family == "xxhash64":
+        tok_hash = f"transform({toks}, t -> xxhash64(t))"
+    else:
+        bits = min(bits, 60)  # the md5-prefix hash carries 60 bits
+        tok_hash = f"transform({toks}, t -> {_md5_prefix_sql('t')})"
     votes = (
-        f"aggregate(transform({toks}, t -> xxhash64(t)),"
+        f"aggregate({tok_hash},"
         f" array_repeat(0, {bits}),"
         f" (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
         f"  (v, b) -> v + (case when (h & shiftleft(1L, b)) != 0 then 1 else -1 end)))"
@@ -256,5 +315,7 @@ def simhash(docs: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 family (60-bit) so the majority-fold fingerprint is value-checked
+    against the DuckDB oracle; see q_minhash_lsh_pairs."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    return simhash(docs).select("doc_id", "simhash")
+    return simhash(docs, family="md5").select("doc_id", "simhash")

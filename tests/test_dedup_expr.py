@@ -63,6 +63,58 @@ def test_minhash_signature_definition(spark):
             assert sigs[doc_id][j] == want, (doc_id, j)
 
 
+def _md5_a(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[0:15], 16)
+
+
+def _md5_b(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[16:30], 16)
+
+
+def test_md5_family_minhash_matches_hashlib(spark):
+    """The md5-affine signature (the cross-engine-verifiable family) equals an
+    independent hashlib computation: sig[j] = min over shingles of a + j*b."""
+    from ocr_engine_spark.operators.dedup import minhash_signatures
+
+    texts = ["one two three four five", "alpha beta gamma delta", "x", ""]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    got = {r["doc_id"]: r["minhash"] for r in
+           minhash_signatures(docs, num_hashes=16, family="md5").collect()}
+    for i, t in enumerate(texts):
+        shingles = py_shingles(t)
+        want = [min(_md5_a(s) + j * _md5_b(s) for s in shingles)
+                for j in range(16)]
+        assert got[i] == want, i
+
+
+def test_md5_family_simhash_matches_hashlib(spark):
+    from ocr_engine_spark.operators.dedup import simhash
+
+    text = "spark engine extract content span spark the the"
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    fp = simhash(docs, family="md5").collect()[0]["simhash"]
+    hashes = [_md5_a(t) for t in text.split()]  # duplicates kept, like the expr
+    want = 0
+    for b in range(60):
+        votes = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+        if votes > 0:
+            want |= 1 << b
+    assert fp == want
+
+
+def test_minhash_families_reject_unknown(spark):
+    from ocr_engine_spark.operators.dedup import minhash_signatures, simhash
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, family="sha9")
+    with pytest.raises(ValueError):
+        simhash(docs, family="sha9")
+
+
 def test_prefix_filter_exact_vs_brute_force(spark):
     """Prefix-filtered candidate generation loses NO pair: output equals the
     all-pairs brute force on a corpus built to stress it — every doc shares the
