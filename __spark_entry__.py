@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_documents": documents.q_extract_documents,
         "manifest_extract": documents.q_manifest_extract,
         "explode_parts": documents.q_explode_parts,
+        "explode_parts_range": documents.q_explode_parts_range,
+        "multi_source_union": documents.q_multi_source_union,
         "strip_ratio_by_source": documents.q_strip_ratio_by_source,
         # — relational surface (joins / aggs / windows) —
         "pricing_summary": relational.q_pricing_summary,
@@ -133,6 +135,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i - 1 AS INTEGER) AS part_idx,
                    CAST(length(parts[CAST(i AS INTEGER)]) AS BIGINT) AS part_len
             FROM p, unnest(generate_series(1, len(parts))) AS t(i)
+        """,
+        "explode_parts_range": r"""
+            WITH p AS (SELECT doc_id, string_split(text, ' table ') AS parts FROM documents)
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS part_idx,
+                   CAST(length(parts[CAST(i AS INTEGER)]) AS BIGINT) AS part_len
+            FROM p, unnest(generate_series(2, least(len(parts), 3))) AS t(i)
+        """,
+        "multi_source_union": """
+            SELECT doc_id, source, n_chars, CAST(NULL AS BIGINT) AS text_chars
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, NULL, NULL, CAST(length(text) AS BIGINT)
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "strip_ratio_by_source": """
             SELECT source,

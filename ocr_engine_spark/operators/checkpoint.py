@@ -82,35 +82,44 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         # fresh StructType: .add() would mutate the shared EXTRACTED_SCHEMA
         out_schema = StructType(
             list(EXTRACTED_SCHEMA.fields) + [StructField("p", IntegerType())])
+        from pyspark import StorageLevel
+
         extracted = (
             pending.repartition(n_buckets, "p")
             .mapInPandas(_pass_bucket(_extract_batches(cfg)), schema=out_schema)
         )
-        overwrite_partitions(extracted, data_path, "p")
+        # one pass over the input: the kernel output is persisted (spilling to disk
+        # when it outgrows memory), the data write consumes it, and the metrics
+        # aggregation reuses the SAME materialization — the input is scanned once
+        # and the freshly-written output is never read back (the previous spelling
+        # re-read the entire output dataset after every run)
+        extracted.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            overwrite_partitions(extracted, data_path, "p")
 
-        # lineage + metrics AFTER data commit: a bucket without its metrics row reruns
-        finished = time.time()
-        metrics = (
-            spark.read.parquet(data_path)
-            .groupBy("p")
-            .agg(
-                F.countDistinct("conv_id").alias("conv_ids"),
-                F.count(F.lit(1)).alias("turns"),
-                F.sum("n_spans").cast("long").alias("spans"),
-                F.avg("strip_ratio").alias("strip_ratio"),
+            # lineage + metrics AFTER data commit: a bucket missing its metrics row
+            # reruns; `extracted` holds only pending buckets, so no done-filter
+            finished = time.time()
+            metrics = (
+                extracted.groupBy("p")
+                .agg(
+                    F.countDistinct("conv_id").alias("conv_ids"),
+                    F.count(F.lit(1)).alias("turns"),
+                    F.sum("n_spans").cast("long").alias("spans"),
+                    F.avg("strip_ratio").alias("strip_ratio"),
+                )
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("started", F.lit(started).cast("timestamp"))
+                .withColumn("finished", F.lit(finished).cast("timestamp"))
+                .withColumn("status", F.lit("done"))
             )
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("started", F.lit(started).cast("timestamp"))
-            .withColumn("finished", F.lit(finished).cast("timestamp"))
-            .withColumn("status", F.lit("done"))
-        )
-        if done:  # only newly-run buckets get (re)written — dynamic overwrite by p
-            metrics = metrics.where(~F.col("p").isin(sorted(done)))
-        overwrite_partitions(
-            metrics.select(
-                "run_id", "conv_ids", "turns", "spans", "strip_ratio",
-                "started", "finished", "status", "p",
-            ), metrics_path, "p")
+            overwrite_partitions(
+                metrics.select(
+                    "run_id", "conv_ids", "turns", "spans", "strip_ratio",
+                    "started", "finished", "status", "p",
+                ), metrics_path, "p")
+        finally:
+            extracted.unpersist()
 
     ran = n_buckets - len(done)
     return {

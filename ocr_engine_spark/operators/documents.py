@@ -8,6 +8,8 @@ which is what makes the full kernel path oracle-checkable against plain SQL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_engine_spark.operators.extract import extract_transcripts
@@ -39,12 +41,33 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_manifest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manifest-driven extraction (J3/S6, /root/reference/run.py:123-128): a small
-    include-list broadcast-semi-joined against the corpus BEFORE the kernel runs, so
-    only selected payloads cross the Python boundary."""
+    """Manifest-driven extraction (J3/S6, /root/reference/run.py:123-128): a REAL
+    CSV manifest file — header-validated, bad rows quarantined — semi-joined
+    against the corpus BEFORE the kernel runs, so only selected payloads cross the
+    Python boundary.
+
+    The demo manifest is derived from the documents table itself (every doc_id with
+    doc_id % 20 == 3), so query and oracle agree at EVERY scale factor — no
+    hard-coded upper bound.  One malformed row is planted to exercise quarantine.
+    """
+    import hashlib
+    import tempfile
+
+    from ocr_engine_spark.sources.manifest import (
+        read_manifest_csv, write_demo_manifest,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    manifest = spark.range(3, 100_000, 20).select(F.col("id").alias("doc_id"))
-    picked = docs.join(F.broadcast(manifest), "doc_id", "left_semi")
+    ids = [r["doc_id"] for r in
+           docs.where(F.col("doc_id") % 20 == 3).select("doc_id")
+           .orderBy("doc_id").collect()]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    csv_path = os.path.join(
+        tempfile.gettempdir(), f"ocr_engine_manifest_{tag}", "manifest.csv")
+    write_demo_manifest(csv_path, ids)
+
+    manifest, _quarantined = read_manifest_csv(spark, csv_path)
+    picked = docs.join(manifest.select("doc_id"), "doc_id", "left_semi")
     as_turns = picked.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
@@ -70,6 +93,52 @@ def q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("part_idx").cast("int").alias("part_idx"),
         F.length("part_text").cast("bigint").alias("part_len"),
     )
+
+
+def explode_parts_range(docs: DataFrame, sep: str = " table ",
+                        start: int = 0, end: int | None = None) -> DataFrame:
+    """S5 with the part-range slice (/root/reference/src/utils.py:231-237): keep
+    parts [start .. end] inclusive, end clamped to the part count exactly like
+    ``end_page = min(len(pages), end_page + 1)``; ``end=None`` reads to the end.
+    part_idx stays ABSOLUTE (page numbering survives the slice)."""
+    parts = F.split("text", sep)
+    size = F.size(parts)
+    end_excl = size if end is None else F.least(size, F.lit(end + 1))
+    length = F.greatest(end_excl - F.lit(start), F.lit(0))
+    return docs.select(
+        "doc_id", F.posexplode(F.slice(parts, start + 1, length))
+        .alias("pos", "part_text"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + start).cast("int").alias("part_idx"),
+        F.length("part_text").cast("bigint").alias("part_len"),
+    )
+
+
+def q_explode_parts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return explode_parts_range(docs, start=1, end=2)
+
+
+def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source ingestion (SURVEY.md §2.7): two table LAYOUTS of the same corpus
+    — one carrying (source, n_chars) metadata, one carrying raw text only — merged
+    with ``unionByName(allowMissingColumns=True)`` so each source contributes the
+    columns it has and nulls the rest.  The union is by NAME, not position: a
+    reordered or partial schema can never silently mis-map columns."""
+    from ocr_engine_spark.sources.transcripts import union_sources
+
+    docs = load(spark, sf_dir, "documents")
+    layout_a = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "n_chars")
+    )
+    layout_b = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.length("text").cast("bigint").alias("text_chars"))
+    )
+    return union_sources([layout_a, layout_b]).select(
+        "doc_id", "source", "n_chars", "text_chars")
 
 
 def q_strip_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,3 +137,16 @@ def write_transcripts_parquet(path: str, n_convs: int, seed: int = 7,
     else:
         pq.write_table(table, path)
     return len(df)
+
+
+def union_sources(dfs):
+    """Multi-source ingestion (SURVEY.md §2.7): merge heterogeneous table layouts by
+    COLUMN NAME, null-filling columns a source lacks.  Positional union would
+    silently mis-map reordered schemas; ``unionByName(allowMissingColumns=True)``
+    keeps every source readable as soon as its shared key columns exist."""
+    if not dfs:
+        raise ValueError("union_sources needs at least one DataFrame")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -88,6 +88,28 @@ def test_metrics_lineage_content(spark, transcripts_df, tmp_path):
                               "strip_ratio", "started", "finished", "status", "p"}
 
 
+def test_metrics_never_reread_fresh_output(spark, transcripts_df, tmp_path,
+                                           monkeypatch):
+    """The metrics aggregation must reuse the persisted kernel output, not
+    spark.read.parquet() the dataset the run just wrote (at scale that re-read is a
+    second full pass over everything written)."""
+    from pyspark.sql import DataFrameReader
+
+    out = str(tmp_path / "noreread")
+    data_path = f"{out}/extracted"
+    read_paths = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        read_paths.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    run_extraction(spark, transcripts_df, out, "rD", n_buckets=N_BUCKETS)
+    assert all(p != data_path for p in read_paths), (
+        f"run re-read its own output: {read_paths}")
+
+
 def test_bucket_assignment_is_deterministic(spark, transcripts_df):
     a = with_bucket(transcripts_df, N_BUCKETS).select("conv_id", "turn_idx", "p")
     b = with_bucket(transcripts_df, N_BUCKETS).select("conv_id", "turn_idx", "p")

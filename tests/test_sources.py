@@ -39,6 +39,29 @@ def test_split_quarantine(spark, jsonl_path):
     assert raws == [BAD_MALFORMED]
 
 
+def test_manifest_csv_reads_and_quarantines(spark, tmp_path):
+    from ocr_engine_spark.sources.manifest import (
+        read_manifest_csv, write_demo_manifest,
+    )
+
+    path = write_demo_manifest(str(tmp_path / "m" / "manifest.csv"), [3, 23, 43])
+    good, quarantined = read_manifest_csv(spark, path)
+    assert [r["doc_id"] for r in good.orderBy("doc_id").collect()] == [3, 23, 43]
+    assert good.schema["doc_id"].dataType.typeName() == "long"
+    q = quarantined.collect()
+    assert len(q) == 1 and q[0]["reason"] == "bad_doc_id"
+    assert q[0]["out_path"] == "out/bad.tsv"  # evidence columns preserved
+
+
+def test_manifest_csv_missing_header_raises(spark, tmp_path):
+    from ocr_engine_spark.sources.manifest import read_manifest_csv
+
+    p = tmp_path / "broken.csv"
+    p.write_text("id,path\n1,x\n")  # wrong header: no doc_id/out_path
+    with pytest.raises(ValueError, match="missing required column"):
+        read_manifest_csv(spark, str(p))
+
+
 def test_good_rows_extract(spark, jsonl_path):
     from ocr_engine_spark.operators.extract import extract_transcripts
 
@@ -48,3 +71,47 @@ def test_good_rows_extract(spark, jsonl_path):
         [("c1", 0), ("c1", 1), ("c2", 0)]
     assert out[0]["extracted_text"] == "hello world"
     assert out[1]["is_blank"] is True and out[1]["n_spans"] == 0
+
+
+def test_explode_parts_range_clamps_like_from_pdf(spark):
+    """Mirrors /root/reference/src/utils.py:231-237: pages[start : min(len, end+1)],
+    absolute part numbering, empty result when start is past the end."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.documents import explode_parts_range
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a table bb table ccc table dddd", "single"],
+    }))
+
+    def run(**kw):
+        rows = explode_parts_range(docs, **kw).orderBy("doc_id", "part_idx").collect()
+        return [(r["doc_id"], r["part_idx"], r["part_len"]) for r in rows]
+
+    # reference default end_page=0 -> first part only
+    assert run(start=0, end=0) == [(1, 0, 1), (2, 0, 6)]
+    # end clamped to the part count (doc 2 has 1 part -> only its part 0 w/ start=0)
+    assert run(start=1, end=99) == [(1, 1, 2), (1, 2, 3), (1, 3, 4)]
+    # end=None reads to the end
+    assert run(start=2, end=None) == [(1, 2, 3), (1, 3, 4)]
+    # start past the end -> no rows for that doc
+    assert run(start=1, end=1) == [(1, 1, 2)]
+
+
+def test_union_sources_by_name(spark):
+    import pandas as pd
+
+    from ocr_engine_spark.sources.transcripts import union_sources
+
+    a = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "x": ["ax"]}))
+    b = spark.createDataFrame(pd.DataFrame({"y": [2.5], "doc_id": [2]}))  # reordered
+    u = union_sources([a, b]).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in u] == [1, 2]
+    assert u[0]["x"] == "ax" and u[0]["y"] is None  # null-filled, name-mapped
+    assert u[1]["x"] is None and u[1]["y"] == 2.5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        union_sources([])
