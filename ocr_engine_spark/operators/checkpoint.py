@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from ocr_engine_spark.operators.extract import (
-    DEFAULT_SALT_BLOCK, _extract_batches, EXTRACTED_SCHEMA,
+    DEFAULT_SALT_BLOCK, _extract_batches, EXTRACTED_SCHEMA, passthrough_wrapper,
 )
 from ocr_engine_spark.sources.io import overwrite_partitions
 
@@ -86,7 +86,8 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
 
         extracted = (
             pending.repartition(n_buckets, "p")
-            .mapInPandas(_pass_bucket(_extract_batches(cfg)), schema=out_schema)
+            .mapInPandas(passthrough_wrapper(_extract_batches(cfg), ["p"]),
+                         schema=out_schema)
         )
         # one pass over the input: the kernel output is persisted (spilling to disk
         # when it outgrows memory), the data write consumes it, and the metrics
@@ -132,16 +133,3 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     }
 
 
-def _pass_bucket(inner):
-    """Wrap a mapInPandas kernel so the bucket id column rides along unchanged."""
-
-    def fn(batches):
-        for pdf in batches:
-            p = pdf["p"].to_numpy()
-            for out in inner(iter([pdf.drop(columns=["p"])])):
-                # the kernel emits exactly one output row per input row, in order,
-                # so the bucket id maps back positionally (a task may hold >1 bucket)
-                out["p"] = p[: len(out)]
-                yield out
-
-    return fn

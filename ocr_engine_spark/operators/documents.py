@@ -143,16 +143,27 @@ def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_strip_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 strip-ratio aggregation: corpus-level extraction metrics per source, with the
-    order-independent exact formula 1 - sum(extracted chars)/sum(raw chars)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    ext = extract_documents(spark, sf_dir).select("doc_id", "extracted_text")
+    order-independent exact formula 1 - sum(extracted chars)/sum(raw chars).
+
+    ``source`` and the raw char count ride through the kernel as passthrough
+    columns, so the whole query is scan -> kernel -> ONE aggregation shuffle —
+    no join back against the input corpus."""
+    docs = load(spark, sf_dir, "documents")
+    as_turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "text", "source",
+        F.length("text").cast("bigint").alias("raw_len"),
+    )
+    ext = extract_transcripts(
+        as_turns, num_partitions=spark.sparkContext.defaultParallelism * 2,
+        passthrough=("source", "raw_len"))
     return (
-        docs.join(ext, "doc_id")
-        .groupBy("source")
+        ext.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("extracted_text")).cast("bigint").alias("extracted_chars"),
-            F.sum(F.length("text")).cast("bigint").alias("raw_chars"),
+            F.sum("raw_len").cast("bigint").alias("raw_chars"),
         )
         .withColumn(
             "strip_ratio",

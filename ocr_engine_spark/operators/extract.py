@@ -72,6 +72,25 @@ def _extract_batches(cfg: EngineConfig):
     return fn
 
 
+def passthrough_wrapper(inner, cols: list[str]):
+    """Wrap a mapInPandas kernel so extra input columns ride along unchanged.
+
+    The kernel emits exactly one output row per input row, in order, so the extra
+    columns map back positionally.  Used for checkpoint bucket ids and for metadata
+    (source, raw sizes) that downstream aggregations need WITHOUT a join back
+    against the input."""
+
+    def fn(batches):
+        for pdf in batches:
+            extras = pdf[cols].reset_index(drop=True)
+            for out in inner(iter([pdf.drop(columns=cols)])):
+                for c in cols:
+                    out[c] = extras[c][: len(out)].to_numpy()
+                yield out
+
+    return fn
+
+
 def salted_key(salt_block: int = DEFAULT_SALT_BLOCK):
     """Skew-safe shuffle key: hash(conv_id, turn_idx // salt_block).
 
@@ -103,10 +122,15 @@ def plan_num_partitions(df: DataFrame, default_parallelism: int,
 
 def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                         num_partitions: int | None = None,
-                        salt_block: int = DEFAULT_SALT_BLOCK) -> DataFrame:
+                        salt_block: int = DEFAULT_SALT_BLOCK,
+                        passthrough: tuple[str, ...] = ()) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted table.
 
     Pure DataFrame -> DataFrame (lazy); the caller picks the action/sink.
+    ``passthrough`` columns of the input ride through the kernel unchanged and are
+    appended to the output schema — metadata needed downstream (source tags,
+    precomputed raw sizes) flows through in the same pass instead of a join back
+    against the input.
 
     Partitioning policy (measured in BENCH/BASELINE.md):
 
@@ -122,11 +146,22 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
       compaction).  Key = hash(conv_id, turn_idx // salt_block) so a whale
       conversation splits across tasks (AQE cannot split a fused Python stage's hot
       partition on its own).
+
+    CAUTION (non-scan inputs): the no-shuffle default is byte-bounded only when the
+    input IS a byte-bounded scan.  A post-join/post-aggregation DataFrame or an
+    unknown source layout inherits upstream skew with no whale bound — such call
+    sites should pass ``num_partitions`` explicitly to get the salted exchange.
     """
-    pruned = df.select("conv_id", "turn_idx", "text")  # column pruning before the UDF
+    cols = ["conv_id", "turn_idx", "text", *passthrough]
+    pruned = df.select(*cols)  # column pruning before the UDF
     if num_partitions:
         pruned = pruned.repartition(num_partitions, salted_key(salt_block))
-    return pruned.mapInPandas(_extract_batches(cfg), schema=EXTRACTED_SCHEMA)
+    if not passthrough:
+        return pruned.mapInPandas(_extract_batches(cfg), schema=EXTRACTED_SCHEMA)
+    schema = StructType(
+        list(EXTRACTED_SCHEMA.fields) + [pruned.schema[c] for c in passthrough])
+    fn = passthrough_wrapper(_extract_batches(cfg), list(passthrough))
+    return pruned.mapInPandas(fn, schema=schema)
 
 
 def extracted_ordered(extracted: DataFrame) -> DataFrame:

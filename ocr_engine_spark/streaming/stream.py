@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_engine_spark.config import DEFAULT_CONFIG, EngineConfig
-from ocr_engine_spark.operators.extract import EXTRACTED_SCHEMA, _extract_batches
+from ocr_engine_spark.operators.extract import (
+    EXTRACTED_SCHEMA, _extract_batches, passthrough_wrapper,
+)
 
 TRANSCRIPTS_DDL = ("conv_id string, turn_idx int, role string, text string, "
                    "tool string, ts timestamp")
@@ -44,7 +46,7 @@ def metrics_window_stream(stream: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     schema = StructType(
         list(EXTRACTED_SCHEMA.fields) + [StructField("ts", TimestampType())])
     extracted = stream.select("conv_id", "turn_idx", "text", "ts").mapInPandas(
-        _with_ts(_extract_batches(cfg)), schema=schema)
+        passthrough_wrapper(_extract_batches(cfg), ["ts"]), schema=schema)
     return (
         extracted.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"))
@@ -56,12 +58,3 @@ def metrics_window_stream(stream: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     )
 
 
-def _with_ts(inner):
-    def fn(batches):
-        for pdf in batches:
-            ts = pdf["ts"].reset_index(drop=True)
-            for out in inner(iter([pdf.drop(columns=["ts"])])):
-                out["ts"] = ts[: len(out)].to_numpy()
-                yield out
-
-    return fn

@@ -59,6 +59,13 @@ def test_dedup_stays_jvm_side(q):
         assert "EvalPython" not in p, f"{name} fell back to Python"
 
 
+def test_strip_ratio_is_join_free(q):
+    # source + raw length ride through the kernel as passthrough columns:
+    # scan -> kernel -> one aggregation, never a join back against the corpus
+    p = plan(q["strip_ratio_by_source"])
+    assert "Join" not in p
+
+
 def test_neardup_never_forces_corpus_broadcast(q, spark):
     # the embedding table is unbounded: neither near-dup variant may carry a
     # broadcast HINT on it — the optimizer must stay free to sort-merge at scale
