@@ -40,7 +40,10 @@ class EngineConfig:
     max_x_dist: int = 20
     max_running_y_shift_degree: int = 10
     y_overlap_threshold: float = 0.5
-    word_formation_mode: str = "line"  # "word_group" | "line"
+    # "word_group"/"line": the live mmocr_tesseract algorithm (word_formation.py:524-538);
+    # "tesseract"/"mmocr": the alternate pluggable algorithms the reference selects by
+    # import (/root/reference/src/ocr.py:19-21; word_formation.py:300-326, :154-167)
+    word_formation_mode: str = "line"
 
     # E11 — model-space placeholder remapped to space (/root/reference/src/utils.py:17-19)
     placeholder_char: str = "✪"  # ✪

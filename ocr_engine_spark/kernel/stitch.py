@@ -246,13 +246,168 @@ def stitch_lines(groups, min_y_overlap_ratio):
     return lines
 
 
+# --- alternate algorithm 1: tesseract-style (words_to_lines_tesseract, -------
+# /root/reference/src/word_formation.py:300-326) -------------------------------
+
+
+def _most_overlapping_row_tess(rows, row_words, bottom, top, y_shift,
+                               max_row_size, y_overlap_threshold):
+    """most_overlapping_row (word_formation.py:181-221).  Differs from the live
+    `_best_row`: rows are pure y-intervals (bottom, top) with NO x-distance
+    criterion, the row-hit test compares against the RUNNING max_overlap (not the
+    row's own overlap), and the interval test `row_top <= bottom` is unshifted."""
+    max_overlap = -1
+    max_overlap_idx = -1
+    hits = []
+    for i, row in enumerate(rows):
+        row_bottom, row_top = row
+        overlap = min(bottom - y_shift[i], row_bottom) - max(top - y_shift[i], row_top)
+        if overlap > max_overlap:
+            max_overlap = overlap
+            max_overlap_idx = i
+        if (row_top <= bottom and row_bottom >= top) \
+                and not (bottom - top - max_overlap
+                         > max_row_size * y_overlap_threshold) \
+                and not (max_overlap < max_row_size * y_overlap_threshold):
+            hits.append(i)
+    if len(hits) > 1:
+        merge_bottom = max(rows[i][0] for i in hits)
+        merge_top = min(rows[i][1] for i in hits)
+        if merge_bottom - merge_top <= max_row_size:
+            merged_words = []
+            for idx in hits[:0:-1]:  # reverse-delete quirk, :209-212
+                merged_words.extend(row_words[idx])
+                del rows[idx]
+                del row_words[idx]
+            rows[hits[0]] = (merge_bottom, merge_top)
+            row_words[hits[0]].extend(merged_words[::-1])  # reversed-extend, :215
+            max_overlap_idx = hits[0]
+    if bottom - top - max_overlap > max_row_size * y_overlap_threshold \
+            and max_overlap < max_row_size * y_overlap_threshold:
+        max_overlap_idx = -1
+    return max_overlap_idx
+
+
+def _stitch_rows_tesseract(words, max_running_y_shift, gradient,
+                           y_overlap_threshold):
+    """stitch_boxes_into_lines_tesseract (word_formation.py:224-258): x-sort,
+    IQR-robust max seeded over ALL word heights (not the first word's), greedy
+    y-interval row assignment, running y-shift EMA, final stable top-y sort."""
+    ordered = sorted(words, key=lambda w: w.x1)  # stable, :226
+    rows = []
+    row_words = []
+    shifts = []
+    max_row_size = robust_max([w.height for w in ordered])  # :229
+    for w in ordered:
+        bottom, top = w.y2, w.y1
+        max_row_size = max(max_row_size, bottom - top)
+        idx = _most_overlapping_row_tess(rows, row_words, bottom, top, shifts,
+                                         max_row_size, y_overlap_threshold)
+        if idx == -1:
+            rows.append((bottom, top))
+            row_words.append([w])
+            shifts.append(0)
+        else:
+            row_bottom, row_top = rows[idx]
+            rows[idx] = (max(row_bottom, bottom), min(row_top, top))
+            row_words[idx].append(w)
+            new_shift = (top + bottom) / 2 - (row_top + row_bottom) / 2
+            shifts[idx] = min(gradient * shifts[idx] + (1 - gradient) * new_shift,
+                              max_running_y_shift)
+    order = sorted(range(len(rows)), key=lambda i: rows[i][1])  # by top, :255
+    page_skew = sum(shifts) / len(shifts)
+    return [row_words[i] for i in order], page_skew
+
+
+def words_to_lines_tesseract(words, page_width, max_running_y_shift_degree,
+                             gradient, max_x_dist, y_overlap_threshold):
+    """words_to_lines_tesseract (word_formation.py:300-326): rows split into
+    word-groups wherever the x-gap exceeds max_x_dist corrected by the measured
+    page skew (|cos|, :264-265); one Line per row holding its groups."""
+    max_shift = page_width * math.tan(max_running_y_shift_degree * _DEG2RAD)
+    sorted_row_words, page_skew = _stitch_rows_tesseract(
+        words, max_shift, gradient, y_overlap_threshold)
+    corrected_max_x_dist = max_x_dist * abs(math.cos(page_skew * _DEG2RAD))
+    lines = []
+    for row in sorted_row_words:
+        group_runs = [[row[0]]]
+        for k in range(1, len(row)):
+            if row[k].x1 - row[k - 1].x2 > corrected_max_x_dist:  # :269-273
+                group_runs.append([])
+            group_runs[-1].append(row[k])
+        members = [merge_group(g) for g in group_runs]
+        line = merge_group(row)  # group_bbox_and_text over the row's words, :320
+        line.members = members
+        lines.append(line)
+    return lines, page_skew
+
+
+# --- alternate algorithm 2: mmocr-style (words_to_lines_mmocr, ----------------
+# /root/reference/src/word_formation.py:154-167) -------------------------------
+
+
+def words_to_lines_mmocr(words, min_y_overlap_ratio: float = 0.3):
+    """words_to_lines_mmocr: greedy left-to-right same-line chaining
+    (stitch_boxes_into_lines, word_formation.py:79-146; ratio default 0.3), each
+    chain merged into one line = one word-group; final stable sort by top-y.
+    The reference returns page skew None — normalized to 0.0 here so the output
+    schema stays total."""
+    ordered = sorted(words, key=lambda w: w.x1)  # :104
+    taken = set()
+    lines = []
+    for i in range(len(ordered)):
+        if i in taken:
+            continue
+        chain = [i]
+        rightmost = i
+        for j in range(i + 1, len(ordered)):
+            if j in taken:
+                continue
+            if _word_same_line(ordered[rightmost], ordered[j],
+                               min_y_overlap_ratio):
+                chain.append(j)
+                taken.add(j)
+                rightmost = j
+        grp = merge_group([ordered[k] for k in chain])
+        line = merge_group([ordered[k] for k in chain])
+        line.members = [grp]  # one word-group per line, :159-165
+        lines.append(line)
+    lines.sort(key=lambda ln: ln.y1)  # stable, :145
+    return lines, 0.0
+
+
+def _word_same_line(a, b, min_y_overlap_ratio):
+    """is_on_same_line (word_formation.py:18-53) on axis-aligned word geometry."""
+    a_min, a_max = a.y1, a.y2
+    b_min, b_max = b.y1, b.y2
+    if a_min > b_min:
+        a_min, b_min = b_min, a_min
+        a_max, b_max = b_max, a_max
+    if b_min > a_max:
+        return False
+    if min_y_overlap_ratio is None:
+        return True
+    mid = sorted([b_min, b_max, a_max])
+    overlap = mid[1] - mid[0]
+    return (overlap >= (a_max - a_min) * min_y_overlap_ratio
+            or overlap >= (b_max - b_min) * min_y_overlap_ratio)
+
+
 def words_formation(words, page_width, mode, max_running_y_shift_degree, gradient,
                     max_x_dist, y_overlap_threshold):
     """Entry point matching words_formation_mmocr_tesseract
-    (word_formation.py:524-538): empty -> ([], 0); mode 'word_group' or 'line';
+    (word_formation.py:524-538): empty -> ([], 0); modes 'word_group'/'line' run
+    the live algorithm, 'tesseract'/'mmocr' the alternate pluggable algorithms
+    (selected by import in the reference, /root/reference/src/ocr.py:19-21);
     unknown mode -> NotImplementedError."""
     if len(words) == 0:
         return [], 0
+    if mode == "tesseract":
+        return words_to_lines_tesseract(
+            words, page_width, max_running_y_shift_degree, gradient,
+            max_x_dist, y_overlap_threshold)
+    if mode == "mmocr":
+        return words_to_lines_mmocr(words)
     max_shift = page_width * math.tan(max_running_y_shift_degree * _DEG2RAD)
     groups, page_skew = stitch_word_groups(
         words, max_shift, gradient, y_overlap_threshold, max_x_dist)

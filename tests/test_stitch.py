@@ -96,3 +96,71 @@ def test_drifting_row_merge_reverse_delete():
     groups, _ = stitch_word_groups(words, 100.0, 0.6, 0.3, 1000)
     # all words end in one merged group; survivor keeps its words then the merged tail
     assert sum(len(g.words) for g in groups) == 3
+
+
+# --- alternate pluggable algorithms (SURVEY.md §2.10; reference selects by ---
+# import at /root/reference/src/ocr.py:19-21) ---------------------------------
+
+
+def test_tesseract_mode_rows_groups_and_line_text():
+    from ocr_engine_spark.kernel.stitch import words_to_lines_tesseract
+
+    words = [
+        W(0, 0, 5, 10, "alpha"),
+        W(50, 0, 55, 10, "beta"),    # same row, x-gap 45 > max_x_dist 20
+        W(0, 20, 5, 30, "gamma"),    # second row
+    ]
+    lines, skew = words_to_lines_tesseract(
+        words, page_width=100, max_running_y_shift_degree=10,
+        gradient=0.6, max_x_dist=20, y_overlap_threshold=0.5)
+    assert [ln.text for ln in lines] == ["alpha beta", "gamma"]
+    # the x-gap splits the first row into two word-groups; the line keeps both
+    assert [g.text for g in lines[0].members] == ["alpha", "beta"]
+    assert [g.text for g in lines[1].members] == ["gamma"]
+    assert isinstance(skew, float) or skew == 0
+
+
+def test_tesseract_mode_seeds_row_size_with_iqr_max():
+    """The tesseract variant seeds max_row_size from the IQR-robust max over ALL
+    heights (word_formation.py:229), so one 100x-tall outlier word does not widen
+    the row-capture band for everything after it."""
+    from ocr_engine_spark.kernel.stitch import words_to_lines_tesseract
+
+    words = [W(0, 0, 5, 10, "a"), W(10, 0, 15, 10, "b"),
+             W(20, 0, 25, 10, "c"), W(30, 0, 35, 10, "d"),
+             W(6, 0, 8, 1000, "tall"),  # height outlier
+             W(0, 40, 5, 50, "next")]
+    lines, _ = words_to_lines_tesseract(
+        words, page_width=100, max_running_y_shift_degree=10,
+        gradient=0.6, max_x_dist=20, y_overlap_threshold=0.5)
+    texts = [ln.text for ln in lines]
+    # 'next' (y 40..50) must stay its own line: with a first-word seed the tall
+    # outlier would have inflated max_row_size before 'next' arrived either way,
+    # but the IQR seed keeps the pre-outlier band at ~10
+    assert any("next" == t for t in texts)
+
+
+def test_mmocr_mode_chains_and_sorts():
+    from ocr_engine_spark.kernel.stitch import words_to_lines_mmocr
+
+    words = [
+        W(0, 20, 5, 30, "below"),
+        W(0, 0, 5, 10, "left"),
+        W(8, 0, 13, 10, "right"),
+    ]
+    lines, skew = words_to_lines_mmocr(words)
+    assert skew == 0.0
+    assert [ln.text for ln in lines] == ["left right", "below"]
+    # one word-group per mmocr line (reference wraps the merged chain in a single
+    # WordGroup, word_formation.py:159-165)
+    assert all(len(ln.members) == 1 for ln in lines)
+
+
+def test_words_formation_dispatches_alternates():
+    lines_t, _ = words_formation(
+        [W(0, 0, 5, 10, "x"), W(8, 0, 13, 10, "y")], 100, "tesseract",
+        10, 0.6, 20, 0.5)
+    assert [ln.text for ln in lines_t] == ["x y"]
+    lines_m, skew_m = words_formation(
+        [W(0, 0, 5, 10, "x")], 100, "mmocr", 10, 0.6, 20, 0.5)
+    assert [ln.text for ln in lines_m] == ["x"] and skew_m == 0.0
