@@ -29,6 +29,8 @@ HEADLINE = [
     "extract_documents",
     "manifest_extract",
     "explode_parts",
+    "explode_parts_range",
+    "multi_source_union",
     "strip_ratio_by_source",
     "pricing_summary",
     "top_revenue_orders",
@@ -52,6 +54,7 @@ HEADLINE = [
     "ivf_assign",
     "ivf_topk",
     "embedding_neardup",
+    "embedding_neardup_ivf",
     "binary_features",
 ]
 

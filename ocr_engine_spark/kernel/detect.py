@@ -39,11 +39,15 @@ _NEWLINE_RE = re.compile("\n")
 def content_conf(s: str) -> float:
     """Fraction of 'texty' characters — the detection confidence of a span.
 
-    One C-level regex pass (delete the complement class, count what survives) —
+    Fast path: a single C-level ``search`` proves the span fully texty (the
+    overwhelmingly common case) and returns exactly 1.0 without allocating;
+    otherwise one regex pass deletes the complement class and counts survivors —
     equivalent to the per-char ``_TEXTY.match`` count, ~100x faster.
     """
     if not s:
         return 0.0
+    if _NON_TEXTY.search(s) is None:
+        return 1.0
     return len(_NON_TEXTY.sub("", s)) / len(s)
 
 

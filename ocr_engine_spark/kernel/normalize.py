@@ -19,7 +19,12 @@ import html as _htmllib
 import json
 import re
 
+from ocr_engine_spark.kernel.detect import _NON_TEXTY, content_conf
+
 _WS = re.compile(r"\s+")
+# fast-path probe: _WS.sub(" ", s) changes s ONLY when s has two adjacent
+# whitespace chars or a whitespace char that isn't a plain space
+_WS_DIRTY = re.compile(r"\s\s|[^ \S]")
 _MD_LINK = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
 _MD_EMPH = re.compile(r"(\*\*|__|`)")
 
@@ -39,14 +44,14 @@ _CC_EXCEPT_TAB_NL = re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f]")
 def _strip_controls(s: str) -> str:
     """Drop control characters (category Cc) except tab/newline (single C-level pass;
     the char class enumerates Cc so this matches the unicodedata.category filter)."""
+    if _CC_EXCEPT_TAB_NL.search(s) is None:  # common case: no allocation
+        return s
     return _CC_EXCEPT_TAB_NL.sub("", s)
 
 
 def _token_score(tok: str) -> float:
     """Per-token recognition score: texty-character fraction (the per-step softmax-score
     analogue feeding E10's min-aggregation)."""
-    from ocr_engine_spark.kernel.detect import content_conf
-
     return content_conf(tok)
 
 
@@ -68,9 +73,11 @@ def recognize_one(raw: str, kind: str, placeholder: str, max_seq_len: int):
         except ValueError:
             pass
     s = _strip_controls(s)
-    if placeholder:
+    if placeholder and placeholder in s:
         s = s.replace(placeholder, " ")  # E11, utils.py:17-19
-    s = _WS.sub(" ", s).strip()
+    if _WS_DIRTY.search(s) is not None:
+        s = _WS.sub(" ", s)
+    s = s.strip()
     if not s:
         return "", 0.0, kind
 
@@ -78,7 +85,17 @@ def recognize_one(raw: str, kind: str, placeholder: str, max_seq_len: int):
     if max_seq_len and len(tokens) > max_seq_len:  # E10 truncation
         tokens = tokens[:max_seq_len]
         s = " ".join(tokens)
-    conf = min(_token_score(t) for t in tokens)  # E10 min over kept steps
+    # E10 min over kept steps.  A token without non-texty characters scores
+    # exactly 1.0, so when the whole span is clean (one C-level search) the min is
+    # 1.0; otherwise only tokens containing a non-texty character can undercut
+    # 1.0 (their score is strictly < 1), so the min runs over those alone —
+    # identical value to min(content_conf(t) for t in tokens), a fraction of the
+    # regex work.
+    if _NON_TEXTY.search(s) is None:
+        conf = 1.0
+    else:
+        conf = min((_token_score(t) for t in tokens
+                    if _NON_TEXTY.search(t) is not None), default=1.0)
 
     if kind != "num" and _NUMERIC.match(s):
         kind = "num"

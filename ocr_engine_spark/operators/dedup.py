@@ -146,22 +146,50 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
 
     Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
     """
+    if family not in HASH_FAMILIES:
+        raise ValueError(f"family must be one of {HASH_FAMILIES}")
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
-    # verification sets hold hashed shingles: bigint array_intersect is far cheaper
-    # than string intersect and Jaccard over distinct shingle hashes equals
-    # string-set Jaccard up to hash collisions (~2^-60 per pair)
+    # Shared per-shingle hash column: the signature fold AND the verification set
+    # both read `hp`, so each shingle is hashed ONCE per row (re-deriving the
+    # shingle pipeline per consumer doubled the crypto work).  The filter between
+    # the projections is a CollapseProject barrier, so `hp` stays a materialized
+    # column, not an inlined expression.
+    staged = (
+        docs.select("doc_id", "text")
+        .withColumn("shingles", _shingle_array(k=k))
+        .where(F.size("shingles") > 0)
+    )
     if family == "xxhash64":
-        shingle_hash = f"transform({_shingle_sql(k=k)}, s -> xxhash64(s))"
+        hp = "transform(shingles, s -> xxhash64(s))"
+        sig = (f"aggregate(hp, array_repeat({LONG_MAX}L, {num_hashes}),"
+               f" (acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}),"
+               f"  (m, j) -> least(m, xxhash64(h, j))))")
+        sset = "array_distinct(hp)"
         bucket_hash = (f"b -> xxhash64(concat_ws(',',"
                        f" slice(minhash, b * {rows} + 1, {rows})))")
     else:
-        shingle_hash = (f"transform({_shingle_sql(k=k)},"
-                        f" s -> {_md5_prefix_sql('s')})")
+        hp = ("transform(transform(shingles, s -> md5(s)),"
+              " m -> named_struct("
+              "'a', cast(conv(substr(m, 1, 15), 16, 10) as bigint),"
+              " 'b', cast(conv(substr(m, 17, 14), 16, 10) as bigint)))")
+        sig = (f"aggregate(hp, array_repeat({LONG_MAX}L, {num_hashes}),"
+               f" (acc, p) -> zip_with(acc, sequence(0, {num_hashes - 1}),"
+               f"  (m, j) -> least(m, p.a + j * p.b)))")
+        sset = "array_distinct(transform(hp, p -> p.a))"
         joined = f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))"
         bucket_hash = f"b -> {_md5_prefix_sql(joined)}"
-    sigs = minhash_signatures(docs.select("doc_id", "text"), num_hashes, k, family) \
-        .withColumn("sset", F.expr(f"array_distinct({shingle_hash})")) \
-        .drop("text")
+    # verification sets hold hashed shingles: bigint array_intersect is far
+    # cheaper than string intersect and Jaccard over distinct shingle hashes
+    # equals string-set Jaccard up to hash collisions (~2^-60 per pair).
+    # Persisted: banding and verification are both consumers (the write-once /
+    # join-twice LSH artifact; a cluster job would checkpoint this table).
+    sigs = (
+        staged.withColumn("hp", F.expr(hp))
+        .select("doc_id", F.expr(sig).alias("minhash"), F.expr(sset).alias("sset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -176,11 +204,13 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        # map-side-combinable pair dedup (bands can collide more than once)
+        .groupBy(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .drop("_hits")
     )
     with_sets = sigs.select("doc_id", "sset")  # column pruning drops minhash here
     verified = (
@@ -229,36 +259,55 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_num: int = 3,
     ``t = threshold_num/threshold_den`` is kept rational so the prefix length uses
     exact integer ceil (no float-boundary risk): ceil(t*n) = (num*n + den-1) div den.
     """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
     t = threshold_num / threshold_den
     docs = (
         docs.withColumn("wset", F.array_distinct(F.split(F.trim("text"), " +")))
         .select("doc_id", "source", "wset")
     )
+    # document frequency via map-side-combinable groupBy: the shuffle carries one
+    # row per DISTINCT token (the vocabulary), not the corpus-sized postings; the
+    # join back is auto-broadcast whenever the vocabulary is genuinely small and
+    # degrades gracefully to a shuffle join when it isn't (no forced hint)
     postings = docs.select(
         "doc_id", "source", F.size("wset").alias("n"), F.explode("wset").alias("tok"))
     tok_df = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
-    prefix = (
+    ranked = (
         postings.join(tok_df, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("n")
-               - F.expr(f"(({threshold_num} * n + {threshold_den - 1})"
-                        f" div {threshold_den})") + 1)
-        .select("doc_id", "source", "tok")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))))
     )
+    # persist the two reused build sides: the self-join and the two-sided verify
+    # would otherwise recompute their whole subtrees per side (on a cluster these
+    # are the standard write-once/join-twice LSH artifacts)
+    prefix = (
+        ranked.where(F.col("rn") <= F.col("n")
+                     - F.expr(f"(({threshold_num} * n + {threshold_den - 1})"
+                              f" div {threshold_den})") + 1)
+        .select("doc_id", "source", "tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # verification sets hold hashed tokens: bigint array_intersect is ~3x cheaper
+    # than string intersect and shuffles a fraction of the bytes; Jaccard over
+    # distinct 64-bit token hashes equals string-set Jaccard up to xxhash64
+    # collisions (~2^-64 per pair), the same argument as minhash verification
+    sets = docs.select(
+        "doc_id", F.expr("transform(wset, t -> xxhash64(t))").alias("wset"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
               (F.col("a.source") == F.col("b.source"))
               & (F.col("a.tok") == F.col("b.tok"))
               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_id_a"),
-                F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
+        # map-side-combinable pair dedup (a groupBy, not a distinct over 3 cols)
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"),
+                 F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .drop("_hits")
     )
-    sets = docs.select("doc_id", "wset")
     return (
         cand.join(sets.withColumnRenamed("doc_id", "doc_id_a")
                   .withColumnRenamed("wset", "set_a"), "doc_id_a")
