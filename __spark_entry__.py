@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_parts": documents.q_explode_parts,
         "explode_parts_range": documents.q_explode_parts_range,
         "multi_source_union": documents.q_multi_source_union,
+        "output_keys": documents.q_output_keys,
         "strip_ratio_by_source": documents.q_strip_ratio_by_source,
         # — relational surface (joins / aggs / windows) —
         "pricing_summary": relational.q_pricing_summary,
@@ -141,6 +142,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i - 1 AS INTEGER) AS part_idx,
                    CAST(length(parts[CAST(i AS INTEGER)]) AS BIGINT) AS part_len
             FROM p, unnest(generate_series(2, least(len(parts), 3))) AS t(i)
+        """,
+        "output_keys": """
+            SELECT doc_id, concat('out/run1/', CAST(doc_id AS VARCHAR), '/0.tsv')
+                   AS output_key
+            FROM documents
         """,
         "multi_source_union": """
             SELECT doc_id, source, n_chars, CAST(NULL AS BIGINT) AS text_chars

@@ -31,6 +31,7 @@ HEADLINE = [
     "explode_parts",
     "explode_parts_range",
     "multi_source_union",
+    "output_keys",
     "strip_ratio_by_source",
     "pricing_summary",
     "top_revenue_orders",

@@ -31,6 +31,21 @@ from ocr_engine_spark.operators.extract import (
 from ocr_engine_spark.sources.io import overwrite_partitions
 
 
+def derive_output_keys(df: DataFrame, out_dir: str, ext: str = ".tsv") -> DataFrame:
+    """E14 output-key construction (construct_file_path/get_name,
+    /root/reference/src/utils.py:251-269): key = {out_dir}/{conv_id}/{turn_idx}{ext},
+    derived as a pure column expression so the sink layer never round-trips
+    through Python for naming."""
+    return df.withColumn(
+        "output_key",
+        F.concat(
+            F.concat_ws("/", F.lit(out_dir.rstrip("/")),
+                        F.col("conv_id"), F.col("turn_idx").cast("string")),
+            F.lit(ext),
+        ),
+    )
+
+
 def with_bucket(df: DataFrame, n_buckets: int,
                 salt_block: int = DEFAULT_SALT_BLOCK) -> DataFrame:
     return df.withColumn(

@@ -141,6 +141,21 @@ def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars", "text_chars")
 
 
+def q_output_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 output-key derivation (/root/reference/src/utils.py:251-269) as a pure
+    column expression over the corpus — the per-row output naming the reference
+    does with os.path joins, with no Python in the plan."""
+    from ocr_engine_spark.operators.checkpoint import derive_output_keys
+
+    docs = load(spark, sf_dir, "documents")
+    as_turns = docs.select(
+        F.col("doc_id"),
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+    )
+    return derive_output_keys(as_turns, "out/run1").select("doc_id", "output_key")
+
+
 def q_strip_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 strip-ratio aggregation: corpus-level extraction metrics per source, with the
     order-independent exact formula 1 - sum(extracted chars)/sum(raw chars).

