@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": relational.q_hourly_event_rollup,
         "asof_last_order": relational.q_asof_last_order,
         "event_range_page": relational.q_event_range_page,
+        "rollup_revenue": relational.q_rollup_revenue,
         # — text analysis —
         "token_stats": text_analysis.q_token_stats,
         "lang_id": text_analysis.q_lang_id,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": similarity.q_embedding_neardup_ivf,
         # — multimodal plumbing —
         "binary_features": multimodal.q_binary_features,
+        "media_frames": multimodal.q_media_frames,
     }
 
 
@@ -218,6 +220,17 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             WHERE e.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders,
+                   CAST(CASE WHEN GROUPING(r_name) > 0 THEN 1 ELSE 0 END AS INTEGER) AS g_region,
+                   CAST(CASE WHEN GROUPING(n_name) > 0 THEN 1 ELSE 0 END AS INTEGER) AS g_nation
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
         """,
         "event_range_page": """
             SELECT event_id, ts, user_id, event_type, value FROM events
@@ -414,5 +427,22 @@ def oracle_sql() -> dict[str, str]:
                      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
             FROM documents
         """,
-        # minhash_lsh_pairs / simhash: xxhash64 has no DuckDB equivalent -> rows-only
+        "media_frames": """
+            WITH f AS (
+              SELECT doc_id AS media_id, i AS frame_idx,
+                     substr(text, CAST(i * 256 + 1 AS INTEGER), 256) AS chunk
+              FROM documents,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(length(text) / 256.0) AS BIGINT) - 1, 0),
+                     2)) AS t(i)
+              WHERE length(text) > 0)
+            SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(length(chunk) AS BIGINT) AS n_bytes,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       [CAST(ascii(substr(chunk, CAST(j AS INTEGER), 1)) AS BIGINT)
+                        for j in generate_series(1, least(length(chunk), 64))]),
+                     (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+            FROM f
+        """,
     }

@@ -42,6 +42,7 @@ HEADLINE = [
     "hourly_event_rollup",
     "asof_last_order",
     "event_range_page",
+    "rollup_revenue",
     "token_stats",
     "lang_id",
     "quality_score",
@@ -57,6 +58,7 @@ HEADLINE = [
     "embedding_neardup",
     "embedding_neardup_ivf",
     "binary_features",
+    "media_frames",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)

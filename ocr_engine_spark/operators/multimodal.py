@@ -74,6 +74,55 @@ def extract_media_features(df: DataFrame) -> DataFrame:
         kernel, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("checksum", LongType()),
+])
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 256,
+                  stride: int = 2) -> DataFrame:
+    """Frame sampling over binary payloads: one output row per sampled frame
+    (every ``stride``-th ``frame_bytes``-sized chunk) — the video frame-sample /
+    audio-window plumbing, as a 1:N Arrow-batched flat map.  The decode step
+    stays behind the same stub boundary as ``extract_media_features``; the
+    deterministic chunk arithmetic makes the plumbing oracle-checkable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "n_bytes": [], "checksum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                for idx in range(0, (len(raw) + frame_bytes - 1) // frame_bytes,
+                                 stride):
+                    chunk = raw[idx * frame_bytes:(idx + 1) * frame_bytes]
+                    ck = 0
+                    for b in chunk[:64]:
+                        ck = (ck * 31 + b) % 1_000_000_007
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_bytes"].append(len(chunk))
+                    out["checksum"].append(ck)
+            pdf_out = pd.DataFrame(out)
+            if len(pdf_out):
+                pdf_out["frame_idx"] = pdf_out["frame_idx"].astype("int32")
+            yield pdf_out
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, schema=FRAME_SCHEMA)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return sample_frames(media, frame_bytes=256, stride=2)
+
+
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract query: documents.text encoded as UTF-8 binary payloads, pushed
     through the multimodal feature kernel.  Oracle-checkable because the fake features

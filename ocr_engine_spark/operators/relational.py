@@ -184,6 +184,29 @@ def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region -> nation -> grand total) over the star join —
+    the grouping-sets surface (SURVEY.md §2.5 notes it as incidental Catalyst
+    capability; exposed here so it is contract-pinned).  NULL grouping levels are
+    tagged with grouping() flags so the three levels are distinguishable."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            _dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+    )
+
+
 def q_event_range_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range filter + deterministic page (O4 page-range limit analogue)."""
     ev = load(spark, sf_dir, "events")

@@ -94,3 +94,23 @@ def test_ivf_assign_multiprobe_rows(spark, planted):
     # rank-1 rows alone reproduce the single-probe assignment
     single = ivf_assign(planted, centroids, probes=1)
     assert single.count() == n_vecs
+
+
+def test_sample_frames_stride_and_edges(spark):
+    """Frame sampling: every stride-th fixed-size chunk, absolute frame_idx,
+    empty payloads produce no rows (1:N flat-map shape)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "payload": [b"a" * 700, b"xy", b""],
+    }))
+    rows = sorted(
+        (r["media_id"], r["frame_idx"], r["n_bytes"])
+        for r in sample_frames(df, frame_bytes=256, stride=2).collect())
+    # media 1: chunks 0,1,2 (700 bytes) -> sampled 0 and 2 (stride 2)
+    # media 2: one 2-byte chunk -> frame 0; media 3: empty -> nothing
+    assert rows == [(1, 0, 256), (1, 2, 188), (2, 0, 2)]
