@@ -9,6 +9,8 @@ window is a watermarked tumbling aggregation; late data beyond the watermark dro
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_engine_spark.config import DEFAULT_CONFIG, EngineConfig
@@ -18,6 +20,54 @@ from ocr_engine_spark.operators.extract import (
 
 TRANSCRIPTS_DDL = ("conv_id string, turn_idx int, role string, text string, "
                    "tool string, ts timestamp")
+
+
+CONV_STATE_SCHEMA = "turns bigint, spans bigint, last_turn_idx int"
+CONV_PROGRESS_SCHEMA = ("conv_id string, turns bigint, spans bigint, "
+                        "last_turn_idx int")
+
+
+def conversation_progress_stream(extracted, timeout_ms: int = 60_000):
+    """Custom stateful operator (applyInPandasWithState): per-conversation running
+    totals — turns seen, spans emitted, highest turn_idx — updated incrementally
+    across micro-batches and emitted on every update.
+
+    The per-turn kernel is stateless, so this is the ONE place the streaming
+    surface needs keyed state: conversation-level progress/lineage (the streaming
+    analogue of the reference's per-run manifest accumulation,
+    /root/reference/run.py:91-118).  State is bounded: three numbers per live
+    conversation, dropped after ``timeout_ms`` of inactivity (processing time).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        turns = spans = 0
+        last = -1
+        if state.exists:
+            turns, spans, last = state.get
+        for pdf in pdfs:
+            turns += len(pdf)
+            spans += int(pdf["n_spans"].sum())
+            if len(pdf):
+                last = max(last, int(pdf["turn_idx"].max()))
+        state.update((turns, spans, last))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({
+            "conv_id": [key[0]], "turns": [turns], "spans": [spans],
+            "last_turn_idx": [last],
+        })
+
+    return (
+        extracted.select("conv_id", "turn_idx", "n_spans")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_PROGRESS_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
 
 
 def read_transcript_stream(spark: SparkSession, path: str,

@@ -56,3 +56,37 @@ def test_metrics_window_stream(spark, stream_dir):
     total = sum(r.turns for r in rows)
     assert total == spark.read.parquet(stream_dir).count()
     assert all(r.spans >= 0 for r in rows)
+
+
+def test_conversation_progress_stateful(spark, stream_dir):
+    """applyInPandasWithState: running per-conversation totals across
+    micro-batches; the final update per conversation equals the batch answer."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.streaming.stream import conversation_progress_stream
+
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        conversation_progress_stream(extract_stream(stream))
+        .writeStream.format("memory").queryName("conv_progress")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per (conv, micro-batch); totals are monotonic so
+    # the final state per conversation is the row-wise max
+    got = {
+        r["conv_id"]: (r["turns"], r["spans"], r["last_turn_idx"])
+        for r in spark.table("conv_progress")
+        .groupBy("conv_id")
+        .agg(F.max("turns").alias("turns"), F.max("spans").alias("spans"),
+             F.max("last_turn_idx").alias("last_turn_idx")).collect()
+    }
+    batch = extract_transcripts(spark.read.parquet(stream_dir))
+    want = {
+        r["conv_id"]: (r["turns"], r["spans"], r["last_turn_idx"])
+        for r in batch.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("turns"),
+             F.sum("n_spans").cast("long").alias("spans"),
+             F.max("turn_idx").alias("last_turn_idx")).collect()
+    }
+    assert got == want
