@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — deduplication —
         "exact_dedup": dedup.q_exact_dedup,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "dedup_clusters": dedup.q_dedup_clusters,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "simhash": dedup.q_simhash,
         # — similarity search —
@@ -292,6 +293,32 @@ def oracle_sql() -> dict[str, str]:
                            / (len(a.wset) + len(b.wset) - CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)), 6) AS jaccard
               FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.6
+        """,
+        # connected components via recursive CTE: labels propagate along near-dup
+        # edges; min reachable label = the component's canonical doc (the Spark
+        # side computes the same fixpoint by iterative min-label propagation)
+        "dedup_clusters": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, source,
+                         list_distinct(string_split_regex(trim(text), ' +')) AS wset
+                  FROM documents),
+            p AS (
+              SELECT doc_id_a, doc_id_b FROM (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                             / (len(a.wset) + len(b.wset)
+                                - CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)), 6)
+                         AS jaccard
+                FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+              WHERE jaccard >= 0.6),
+            e AS (SELECT doc_id_a AS s, doc_id_b AS t FROM p
+                  UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+            reach(v, l) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.t, r.l FROM reach r JOIN e ON e.s = r.v)
+            SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY v
         """,
         # md5-affine hash family (operators/dedup.py): a = int(md5[0:15], 16),
         # b = int(md5[16:30], 16), h_j = a + j*b — bit-identical in both engines,

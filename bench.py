@@ -50,6 +50,7 @@ HEADLINE = [
     "fingerprint",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "minhash_lsh_pairs",
     "simhash",
     "embedding_topk",

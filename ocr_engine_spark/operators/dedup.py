@@ -368,3 +368,52 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the DuckDB oracle; see q_minhash_lsh_pairs."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return simhash(docs, family="md5").select("doc_id", "simhash")
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id) with
+    cluster_id = min doc_id of the component (the canonical-document rule of a
+    dedup pipeline: keep the cluster minimum, drop the rest).
+
+    Iterative min-label propagation: label(v) <- min(label(v), min over
+    neighbors) until a fixpoint, converging in O(component diameter) rounds
+    (near-dup clusters are shallow).  Each round is one join + one map-side
+    combinable min-aggregation; lineage is truncated per round with
+    ``localCheckpoint`` so the plan does not grow with iterations — the standard
+    Spark shape for iterative graph algorithms without a graph library.
+    """
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .union(pairs.select(F.col("doc_id_b").alias("src"),
+                            F.col("doc_id_a").alias("dst")))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            merged.alias("n").join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+        )
+        labels = merged
+        if changed.isEmpty():
+            break
+    return labels.select("doc_id", "cluster_id")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: n-gram Jaccard pairs (>= 0.6, same-source blocks)
+    collapsed into connected components; cluster_id is the canonical keeper."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    pairs = ngram_jaccard_pairs(docs, threshold_num=3, threshold_den=5)
+    return duplicate_clusters(pairs)

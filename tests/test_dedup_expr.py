@@ -190,3 +190,33 @@ def test_simhash_majority_definition(spark):
     for b in range(64):
         votes = sum(1 if (h >> b) & 1 else -1 for h in hashes)
         assert ((fp >> b) & 1) == (1 if votes > 0 else 0), b
+
+
+def test_duplicate_clusters_chain_and_isolates(spark):
+    """Min-label propagation merges transitive chains (a-b, b-c -> one cluster)
+    and keeps disjoint pairs separate; cluster_id is the component minimum."""
+    from ocr_engine_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "doc_id_a": [1, 2, 10, 30],
+        "doc_id_b": [2, 3, 11, 31],
+        "jaccard": [0.9, 0.9, 0.8, 0.7],
+    }))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A path graph needs O(diameter) rounds; the loop + convergence check must
+    reach the fixpoint, not stop early."""
+    from ocr_engine_spark.operators.dedup import duplicate_clusters
+
+    n = 12  # chain 0-1-2-...-12
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "doc_id_a": list(range(n)), "doc_id_b": list(range(1, n + 1)),
+        "jaccard": [0.9] * n,
+    }))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}

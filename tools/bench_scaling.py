@@ -38,7 +38,9 @@ sys.path.insert(0, str(REPO))
 
 PAIRS = ((2, 8), (4, 16), (8, 32))
 LEVELS = sorted({c for pair in PAIRS for c in pair})
-N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "60000"))
+# long runs keep the per-job fixed overhead a small share of every level's wall
+# time (the other half of the overhead-bias remedy, next to the explicit probe)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "120000"))
 MAX_PARTITION_BYTES = 512 << 10  # byte-bounded scan splits; sized so 4N has >=2 waves
 ROW_GROUP_ROWS = 8192  # parquet row groups small enough for sub-MB split boundaries
 REPS = 3  # best-of-N to suppress scheduling noise on the shared VM
