@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,
         # — similarity search —
         "embedding_topk": similarity.q_embedding_topk,
+        "embedding_topk_blas": similarity.q_embedding_topk_blas,
         "ivf_assign": similarity.q_ivf_assign,
         "ivf_topk": similarity.q_ivf_topk,
         "embedding_neardup": similarity.q_embedding_neardup,
@@ -384,6 +385,17 @@ def oracle_sql() -> dict[str, str]:
             FROM votes GROUP BY doc_id
         """,
         "embedding_topk": f"""
+            WITH e AS ({_EMB}),
+            s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         {cos_qc} AS score
+                  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id != q.vec_id)
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        # same oracle as embedding_topk: the BLAS path computes the identical
+        # rounded-score/id total order, only the summation strategy differs
+        "embedding_topk_blas": f"""
             WITH e AS ({_EMB}),
             s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                          {cos_qc} AS score

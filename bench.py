@@ -54,6 +54,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash",
     "embedding_topk",
+    "embedding_topk_blas",
     "ivf_assign",
     "ivf_topk",
     "embedding_neardup",

@@ -194,3 +194,66 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8)
     return embedding_neardup_ivf(emb, centroids, probes=2, threshold=0.9)
+
+
+def brute_force_topk_blas(corpus: DataFrame, queries: DataFrame,
+                          k: int = 5) -> DataFrame:
+    """Vectorized exact top-k: the Pandas-UDF/BLAS scale path for brute-force
+    scoring.  The bounded query set is collected into one numpy matrix and closed
+    over (the broadcast side); each Arrow batch of the corpus scores against it
+    with a single float64 matmul and emits only its local top-(k+8) rows per
+    query, so the shuffle carries O(batches * q * k) rows — never the full
+    O(N * Q) score matrix.  A final window keeps the global top-k under the same
+    total order as ``brute_force_topk`` (rounded score desc, neighbor id asc);
+    the per-query local buffer of 8 extra rows absorbs any rounding-boundary
+    reordering between raw and rounded scores.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    q_rows = (_as_double(queries).select("vec_id", "embedding")
+              .orderBy("vec_id").collect())
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    local_k = k + 8
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            scores = (cmat @ qmat.T) / (cnorm[:, None] * qnorm[None, :])
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                col = scores[:, j]
+                keep = ids != qid
+                order = np.lexsort((ids[keep], -col[keep]))[:local_k]
+                sel_ids = ids[keep][order]
+                sel_scores = col[keep][order]
+                out_q.extend([qid] * len(sel_ids))
+                out_n.extend(sel_ids.tolist())
+                out_s.extend(sel_scores.tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "score_raw": out_s})
+
+    cand = _as_double(corpus).select("vec_id", "embedding").mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, score_raw double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (
+        cand.withColumn("score", F.round("score_raw", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def q_embedding_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk_blas(emb, queries, k=5)

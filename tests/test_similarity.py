@@ -114,3 +114,20 @@ def test_sample_frames_stride_and_edges(spark):
     # media 1: chunks 0,1,2 (700 bytes) -> sampled 0 and 2 (stride 2)
     # media 2: one 2-byte chunk -> frame 0; media 3: empty -> nothing
     assert rows == [(1, 0, 256), (1, 2, 188), (2, 0, 2)]
+
+
+def test_blas_topk_matches_expression_topk(spark, planted):
+    """The vectorized (matmul) brute-force path returns the identical top-k rows
+    as the expression (sequential-fold) path under the shared total order."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_blas,
+    )
+
+    queries = planted.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, brute_force_topk(planted, queries, k=4)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, brute_force_topk_blas(planted, queries, k=4)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b
