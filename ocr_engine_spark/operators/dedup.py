@@ -1,4 +1,4 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard, clusters.
 
 Scale design (100 TB corpus):
 - exact dedup is one hash-groupBy (map-side combinable, single shuffle on the digest);
@@ -6,9 +6,15 @@ Scale design (100 TB corpus):
   shuffle for the signature); only the tiny banded keys shuffle for bucketing;
 - candidate pairs come from LSH band buckets (self-join within buckets only), then are
   verified with exact Jaccard — the quadratic step never touches the full corpus;
-- SimHash is a per-row fold, usable for Hamming-radius blocking downstream.
+- n-gram Jaccard uses ppjoin-style PREFIX FILTERING (df-ordered per-doc prefixes) so
+  corpus-stopword tokens never enter candidate generation — exact, no df^2 blowup;
+- SimHash is a per-row fold, usable for Hamming-radius blocking downstream;
+- duplicate_clusters collapses pair graphs into components by iterative min-label
+  propagation (O(diameter) rounds, lineage truncated per round);
+- hash family is pluggable: xxhash64 (fast production default) or md5-affine
+  (bit-identical in DuckDB -> every stage value-checkable by the SQL oracle).
 
-Everything is built-in SQL expressions (xxhash64, aggregate, transform) — JVM-side,
+Everything is built-in SQL expressions (hashing, aggregate, transform) — JVM-side,
 codegen-friendly, no Python in the hot path.
 """
 

@@ -2,13 +2,18 @@
 
 - brute-force cosine top-k: the exact baseline (broadcast the query set, one pass over
   the corpus, per-partition top-k via window rank) — correct at any scale, O(N*Q);
-- IVF-style bucketed ANN: assign every vector to its nearest centroid (broadcast
-  centroid table), probe only matching buckets at query time — the scale path that
-  turns O(N*Q) into O(N/C * Q) per probe;
-- embedding near-dup: cosine >= threshold pairs within label blocks.
+  two interchangeable scorers: the F.aggregate/F.zip_with expression path (JVM-side,
+  oracle-identical fold order) and the BLAS path (`brute_force_topk_blas`: one numpy
+  matmul per Arrow batch, local top-k per batch so the shuffle never carries the full
+  score matrix);
+- IVF-style bucketed ANN: assign every vector to its nearest ``probes`` centroids
+  (broadcast centroid table), probe only matching buckets at query time — the scale
+  path that turns O(N*Q) into O(N/C * Q) per probe;
+- embedding near-dup: exact within label blocks (no forced broadcast), or bucketed by
+  (label, IVF cell) for corpora whose label blocks are themselves huge.
 
-Dot products use F.aggregate/F.zip_with over the array columns (JVM-side); doubles are
-rounded before ranking for cross-engine determinism.
+Scores are rounded before ranking with total-order tie-breaks for cross-engine
+determinism.
 """
 
 from __future__ import annotations

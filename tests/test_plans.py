@@ -118,6 +118,20 @@ def test_extraction_exchange_is_salted(spark):
     assert "MapInPandas" in p or "mapInPandas" in p.lower()
 
 
+def test_extraction_default_is_shuffle_free(spark, tmp_path):
+    # the production path: scan -> fused kernel -> sink with ZERO exchanges
+    # (byte-bounded scan splits make the salted shuffle unnecessary; see
+    # extract_transcripts' partitioning policy)
+    from ocr_engine_spark.operators.extract import extract_transcripts
+    from ocr_engine_spark.plans import exchange_count
+    from ocr_engine_spark.sources.transcripts import write_transcripts_parquet
+
+    path = str(tmp_path / "noex.parquet")
+    write_transcripts_parquet(path, n_convs=5, whale_factor=1)
+    df = spark.read.parquet(path)
+    assert exchange_count(extract_transcripts(df)) == 0
+
+
 def test_extraction_scan_prunes_to_three_columns(spark, tmp_path):
     from ocr_engine_spark.operators.extract import extract_transcripts
     from ocr_engine_spark.sources.transcripts import write_transcripts_parquet

@@ -205,6 +205,12 @@ throughput divides by (T_full - T_tiny).
 
 {_conclusions(pair_stats)}
 
+Run-to-run variance: this is a shared VM — per-level throughput drifts several
+percent between full protocol runs (best-of-{REPS} suppresses within-run noise
+only).  Single-pair numbers should be read with that error bar; the consistent
+signals across runs are (a) every headroom pair's corrected efficiency lands
+around or above 0.8 and (b) the Spark/control ratio stays near 1.0.
+
 The north_rule criterion is defined for N -> 4N *executors* on a cluster, where
 every added node brings its own memory bus.  This single-socket sandbox cannot
 measure that configuration directly: pairs that leave socket headroom model it
