@@ -115,6 +115,53 @@ _EMB = "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb, label FROM
 _REV = ("sum(CAST(l_extendedprice AS DECIMAL(18,6))"
         " * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))")
 
+# The full MinHash-LSH pair pipeline as a CTE chain ending in ``mh_pairs``
+# (md5-affine hash family; mirrors operators/dedup.minhash_lsh_pairs with
+# num_hashes=16, bands=8, k=3, threshold 0.5).  Shared by the pairs query and
+# the connected-components clustering oracle.
+_MINHASH_CTES = """sh AS (
+              SELECT doc_id,
+                     [concat_ws(' ', tk[CAST(i AS INTEGER)], tk[CAST(i+1 AS INTEGER)],
+                                tk[CAST(i+2 AS INTEGER)])
+                      for i in generate_series(1, greatest(len(tk) - 2, 1))] AS shingles
+              FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                    FROM documents)),
+            ab AS (
+              SELECT doc_id,
+                     [CAST('0x' || substr(m, 1, 15) AS BIGINT) for m in ms] AS av,
+                     [CAST('0x' || substr(m, 17, 14) AS BIGINT) for m in ms] AS bv
+              FROM (SELECT doc_id, [md5(s) for s in shingles] AS ms FROM sh)),
+            sset AS (SELECT doc_id, list_distinct(av) AS s FROM ab),
+            sigj AS (
+              SELECT doc_id, j,
+                     min(av[CAST(i AS INTEGER)] + j * bv[CAST(i AS INTEGER)]) AS mh
+              FROM ab,
+                   unnest(generate_series(0, 15)) AS gj(j),
+                   unnest(generate_series(1, len(av))) AS gi(i)
+              GROUP BY doc_id, j),
+            sig AS (SELECT doc_id, list(mh ORDER BY j) AS minhash
+                    FROM sigj GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, b AS band,
+                     CAST('0x' || substr(md5(concat_ws(',',
+                          minhash[CAST(2*b+1 AS INTEGER)],
+                          minhash[CAST(2*b+2 AS INTEGER)])), 1, 15) AS BIGINT) AS bucket
+              FROM sig, unnest(generate_series(0, 7)) AS gb(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            mh_pairs AS (
+              SELECT doc_id_a, doc_id_b, jaccard FROM (
+                SELECT doc_id_a, doc_id_b,
+                       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                             / (len(sa.s) + len(sb.s)
+                                - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6)
+                         AS jaccard
+                FROM cand JOIN sset sa ON sa.doc_id = doc_id_a
+                          JOIN sset sb ON sb.doc_id = doc_id_b)
+              WHERE jaccard >= 0.5)"""
+
 
 def oracle_sql() -> dict[str, str]:
     cos_qc = _COSINE.format(a="q.emb", b="c.emb")
@@ -295,25 +342,14 @@ def oracle_sql() -> dict[str, str]:
               FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.6
         """,
-        # connected components via recursive CTE: labels propagate along near-dup
-        # edges; min reachable label = the component's canonical doc (the Spark
-        # side computes the same fixpoint by iterative min-label propagation)
-        "dedup_clusters": """
-            WITH RECURSIVE
-            d AS (SELECT doc_id, source,
-                         list_distinct(string_split_regex(trim(text), ' +')) AS wset
-                  FROM documents),
-            p AS (
-              SELECT doc_id_a, doc_id_b FROM (
-                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                       round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-                             / (len(a.wset) + len(b.wset)
-                                - CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)), 6)
-                         AS jaccard
-                FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-              WHERE jaccard >= 0.6),
-            e AS (SELECT doc_id_a AS s, doc_id_b AS t FROM p
-                  UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+        # connected components via recursive CTE over the SAME MinHash-LSH pair
+        # pipeline the Spark side clusters: labels propagate along near-dup edges;
+        # min reachable label = the component's canonical doc (the Spark side
+        # computes the identical fixpoint by iterative min-label propagation)
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            e AS (SELECT doc_id_a AS s, doc_id_b AS t FROM mh_pairs
+                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
             reach(v, l) AS (
               SELECT s, s FROM e
               UNION
@@ -324,48 +360,9 @@ def oracle_sql() -> dict[str, str]:
         # md5-affine hash family (operators/dedup.py): a = int(md5[0:15], 16),
         # b = int(md5[16:30], 16), h_j = a + j*b — bit-identical in both engines,
         # so signatures, band buckets, and verification sets all replay here.
-        "minhash_lsh_pairs": """
-            WITH sh AS (
-              SELECT doc_id,
-                     [concat_ws(' ', tk[CAST(i AS INTEGER)], tk[CAST(i+1 AS INTEGER)],
-                                tk[CAST(i+2 AS INTEGER)])
-                      for i in generate_series(1, greatest(len(tk) - 2, 1))] AS shingles
-              FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
-                    FROM documents)),
-            ab AS (
-              SELECT doc_id,
-                     [CAST('0x' || substr(m, 1, 15) AS BIGINT) for m in ms] AS av,
-                     [CAST('0x' || substr(m, 17, 14) AS BIGINT) for m in ms] AS bv
-              FROM (SELECT doc_id, [md5(s) for s in shingles] AS ms FROM sh)),
-            sset AS (SELECT doc_id, list_distinct(av) AS s FROM ab),
-            sigj AS (
-              SELECT doc_id, j,
-                     min(av[CAST(i AS INTEGER)] + j * bv[CAST(i AS INTEGER)]) AS mh
-              FROM ab,
-                   unnest(generate_series(0, 15)) AS gj(j),
-                   unnest(generate_series(1, len(av))) AS gi(i)
-              GROUP BY doc_id, j),
-            sig AS (SELECT doc_id, list(mh ORDER BY j) AS minhash
-                    FROM sigj GROUP BY doc_id),
-            banded AS (
-              SELECT doc_id, b AS band,
-                     CAST('0x' || substr(md5(concat_ws(',',
-                          minhash[CAST(2*b+1 AS INTEGER)],
-                          minhash[CAST(2*b+2 AS INTEGER)])), 1, 15) AS BIGINT) AS bucket
-              FROM sig, unnest(generate_series(0, 7)) AS gb(b)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-            SELECT doc_id_a, doc_id_b, jaccard FROM (
-              SELECT doc_id_a, doc_id_b,
-                     round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                           / (len(sa.s) + len(sb.s)
-                              - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6)
-                       AS jaccard
-              FROM cand JOIN sset sa ON sa.doc_id = doc_id_a
-                        JOIN sset sb ON sb.doc_id = doc_id_b)
-            WHERE jaccard >= 0.5
+        "minhash_lsh_pairs": f"""
+            WITH {_MINHASH_CTES}
+            SELECT doc_id_a, doc_id_b, jaccard FROM mh_pairs
         """,
         "simhash": """
             WITH h AS (

@@ -141,11 +141,18 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # hygiene between queries (untimed): drop query-local persists and let the
+        # ContextCleaner reclaim checkpoint blocks, so one query's working set
+        # never degrades the next query's measurement
+        spark.catalog.clearCache()
+        gc.collect()
 
     extraction = bench_extraction(spark, BENCH_CONVS)
     total = round(sum(timings.values()), 3)

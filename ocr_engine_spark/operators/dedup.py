@@ -418,8 +418,13 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: n-gram Jaccard pairs (>= 0.6, same-source blocks)
-    collapsed into connected components; cluster_id is the canonical keeper."""
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    pairs = ngram_jaccard_pairs(docs, threshold_num=3, threshold_den=5)
+    """Near-dup clustering: MinHash-LSH pairs (md5 family, Jaccard >= 0.5)
+    collapsed into connected components; cluster_id is the canonical keeper.
+
+    LSH pairs are the realistic clustering input — the pair graph a dedup
+    pipeline materializes is the sparse LSH output, not the dense exact
+    all-similarity graph (at sf0.1 the exact graph has ~70 pairs per doc; the
+    LSH graph is ~0.05 per doc — clustering cost follows the edge count)."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, family="md5")
     return duplicate_clusters(pairs)
