@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_parts_range": documents.q_explode_parts_range,
         "multi_source_union": documents.q_multi_source_union,
         "output_keys": documents.q_output_keys,
+        "tsv_lines": documents.q_tsv_lines,
         "strip_ratio_by_source": documents.q_strip_ratio_by_source,
         # — relational surface (joins / aggs / windows) —
         "pricing_summary": relational.q_pricing_summary,
@@ -193,6 +194,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i - 1 AS INTEGER) AS part_idx,
                    CAST(length(parts[CAST(i AS INTEGER)]) AS BIGINT) AS part_len
             FROM p, unnest(generate_series(2, least(len(parts), 3))) AS t(i)
+        """,
+        # the documents corpus is single-line plain prose, so the kernel's one
+        # span per doc has start = leading-space count, end = rtrim length, the
+        # plain-text kind, and the collapsed text — the S8 sink format exactly
+        "tsv_lines": r"""
+            SELECT doc_id,
+                   concat(CAST(length(text) - length(ltrim(text)) AS VARCHAR),
+                          chr(9), CAST(length(rtrim(text)) AS VARCHAR),
+                          chr(9), 'text', chr(9),
+                          regexp_replace(trim(text), '\s+', ' ', 'g')) AS tsv_line
+            FROM documents WHERE length(trim(text)) > 0
         """,
         "output_keys": """
             SELECT doc_id, concat('out/run1/', CAST(doc_id AS VARCHAR), '/0.tsv')

@@ -32,6 +32,7 @@ HEADLINE = [
     "explode_parts_range",
     "multi_source_union",
     "output_keys",
+    "tsv_lines",
     "strip_ratio_by_source",
     "pricing_summary",
     "top_revenue_orders",

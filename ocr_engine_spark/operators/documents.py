@@ -141,6 +141,31 @@ def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars", "text_chars")
 
 
+def q_tsv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 TSV sink contract (/root/reference/src/dto.py:464-477 format graft):
+    one ``start\\tend\\tkind\\ttext`` line per extracted span, formatted by a pure
+    column expression (format_string) over the kernel's span structs — the exact
+    byte format kernel/tsv.py writes for golden fixtures, value-checked
+    cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    as_turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = extract_transcripts(
+        as_turns, num_partitions=spark.sparkContext.defaultParallelism * 2)
+    return (
+        out.select(F.col("conv_id").cast("bigint").alias("doc_id"),
+                   F.explode("spans").alias("sp"))
+        .select(
+            "doc_id",
+            F.format_string("%d\t%d\t%s\t%s", F.col("sp.start"), F.col("sp.end"),
+                            F.col("sp.kind"), F.col("sp.text")).alias("tsv_line"),
+        )
+    )
+
+
 def q_output_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14 output-key derivation (/root/reference/src/utils.py:251-269) as a pure
     column expression over the corpus — the per-row output naming the reference
