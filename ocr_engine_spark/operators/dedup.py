@@ -292,7 +292,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_num: int = 3,
         ranked.where(F.col("rn") <= F.col("n")
                      - F.expr(f"(({threshold_num} * n + {threshold_den - 1})"
                               f" div {threshold_den})") + 1)
-        .select("doc_id", "source", "tok")
+        .select("doc_id", "source", "tok", "n", "rn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # verification sets hold hashed tokens: bigint array_intersect is ~3x cheaper
@@ -302,12 +302,29 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_num: int = 3,
     sets = docs.select(
         "doc_id", F.expr("transform(wset, t -> xxhash64(t))").alias("wset"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    num, den = threshold_num, threshold_den
+    # ppjoin's two additional exact candidate filters, applied inside the join:
+    # - LENGTH: J >= t forces t * max(|A|,|B|) <= min(|A|,|B|);
+    # - POSITIONAL: for the pair's globally-smallest shared token at prefix
+    #   positions (i, j), every shared token sits at position >= i in A and >= j
+    #   in B, so overlap <= 1 + min(nA - i, nB - j); a true pair's minimal-token
+    #   join event always passes (its overlap >= ceil(t/(1+t)(nA+nB))), so
+    #   keeping a pair iff ANY of its events passes is exact — only
+    #   provably-unqualifiable candidates are dropped before verification.
+    length_ok = (F.lit(num) * F.greatest(F.col("a.n"), F.col("b.n"))
+                 <= F.lit(den) * F.least(F.col("a.n"), F.col("b.n")))
+    overlap_needed = F.expr(
+        f"({num} * (a.n + b.n) + {num + den} - 1) div {num + den}")
+    positional_ok = (
+        F.lit(1) + F.least(F.col("a.n") - F.col("a.rn"),
+                           F.col("b.n") - F.col("b.rn")) >= overlap_needed)
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
               (F.col("a.source") == F.col("b.source"))
               & (F.col("a.tok") == F.col("b.tok"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
+              & (F.col("a.doc_id") < F.col("b.doc_id"))
+              & length_ok & positional_ok)
         # map-side-combinable pair dedup (a groupBy, not a distinct over 3 cols)
         .groupBy(F.col("a.doc_id").alias("doc_id_a"),
                  F.col("b.doc_id").alias("doc_id_b"))
