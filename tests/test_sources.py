@@ -115,3 +115,37 @@ def test_union_sources_by_name(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         union_sources([])
+
+
+def test_resolve_flavor_rules(tmp_path):
+    from ocr_engine_spark.sources.io import resolve_flavor
+
+    assert resolve_flavor("/x/y", "auto") == "parquet"          # separator
+    assert resolve_flavor("data.parquet", "auto") == "parquet"  # suffix
+    assert resolve_flavor(str(tmp_path), "auto") == "parquet"   # exists
+    assert resolve_flavor("warehouse_tbl", "auto") == "table"   # bare name
+    # explicit flavor always wins over shape inference
+    assert resolve_flavor("out", "parquet") == "parquet"        # the ADVICE case
+    assert resolve_flavor("/x/y", "table") == "table"
+    with pytest.raises(ValueError):
+        resolve_flavor("x", "iceberg")
+
+
+def test_overwrite_partitions_leaves_session_conf_alone(spark, tmp_path):
+    """The dynamic overwrite mode must be a per-write option, never a session-wide
+    mutation that silently changes unrelated writes."""
+    import pandas as pd
+
+    from ocr_engine_spark.sources.io import overwrite_partitions
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    df = spark.createDataFrame(pd.DataFrame({"v": [1, 2], "p": [0, 1]}))
+    target = str(tmp_path / "ow.parquet")
+    overwrite_partitions(df, target, "p")
+    assert spark.conf.get(key) == before
+    # and the write itself WAS dynamic: rewriting one partition keeps the other
+    df2 = spark.createDataFrame(pd.DataFrame({"v": [9], "p": [1]}))
+    overwrite_partitions(df2, target, "p")
+    rows = sorted((r["p"], r["v"]) for r in spark.read.parquet(target).collect())
+    assert rows == [(0, 1), (1, 9)]
