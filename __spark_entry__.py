@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.q_dedup_clusters,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "simhash": dedup.q_simhash,
+        "simhash_neardup": dedup.q_simhash_neardup,
         # — similarity search —
         "embedding_topk": similarity.q_embedding_topk,
         "embedding_topk_blas": similarity.q_embedding_topk_blas,
@@ -115,6 +116,26 @@ _EMB = "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb, label FROM
 # rounded (1-ULP drift vs Spark's BigDecimal.doubleValue); string->double is.
 _REV = ("sum(CAST(l_extendedprice AS DECIMAL(18,6))"
         " * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))")
+
+# SimHash fingerprint pipeline as a CTE chain ending in ``fp(doc_id, simhash)``
+# (md5-prefix 60-bit token hashes, majority bit fold) — shared by the simhash
+# query and the Hamming near-dup oracle.
+_SIMHASH_CTES = """h AS (
+              SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv
+              FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                    FROM documents), unnest(tk) AS u(t)),
+            votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN ((hv >> CAST(b AS INTEGER)) & 1) = 1
+                         THEN 1 ELSE -1 END) AS v
+              FROM h, unnest(generate_series(0, 59)) AS g(b)
+              GROUP BY doc_id, b),
+            fp AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0
+                          THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                          ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id)"""
 
 # The full MinHash-LSH pair pipeline as a CTE chain ending in ``mh_pairs``
 # (md5-affine hash family; mirrors operators/dedup.minhash_lsh_pairs with
@@ -376,22 +397,26 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MINHASH_CTES}
             SELECT doc_id_a, doc_id_b, jaccard FROM mh_pairs
         """,
-        "simhash": """
-            WITH h AS (
-              SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv
-              FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
-                    FROM documents), unnest(tk) AS u(t)),
-            votes AS (
-              SELECT doc_id, b,
-                     sum(CASE WHEN ((hv >> CAST(b AS INTEGER)) & 1) = 1
-                         THEN 1 ELSE -1 END) AS v
-              FROM h, unnest(generate_series(0, 59)) AS g(b)
-              GROUP BY doc_id, b)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0
-                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-                        ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id
+        "simhash": f"""
+            WITH {_SIMHASH_CTES}
+            SELECT doc_id, simhash FROM fp
+        """,
+        # provably exact band blocking: 4 bands of 15 bits; a pair within Hamming 3
+        # differs in at most 3 slices, so it shares one (pigeonhole) — candidates
+        # have perfect recall and the popcount verification is exact
+        "simhash_neardup": f"""
+            WITH {_SIMHASH_CTES},
+            banded AS (
+              SELECT doc_id, simhash, b AS band,
+                     (simhash >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+              FROM fp, unnest(generate_series(0, 3)) AS g(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+            SELECT doc_id_a, doc_id_b, CAST(hamming AS INTEGER) AS hamming
+            FROM cand WHERE hamming <= 3
         """,
         "embedding_topk": f"""
             WITH e AS ({_EMB}),

@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_clusters",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_neardup",
     "embedding_topk",
     "embedding_topk_blas",
     "ivf_assign",

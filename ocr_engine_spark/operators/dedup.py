@@ -445,3 +445,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, family="md5")
     return duplicate_clusters(pairs)
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
+                          bits: int = 60, bands: int = 4,
+                          family: str = "md5") -> DataFrame:
+    """SimHash Hamming-radius near-dup pairs with PROVABLY exact band blocking.
+
+    Fingerprints are split into ``bands`` equal bit-slices; candidates must share
+    at least one identical slice.  By pigeonhole, any pair within Hamming
+    distance ``max_hamming`` < ``bands`` differs in at most ``bands - 1`` slices,
+    so it shares one — band blocking has perfect recall for the radius, and every
+    candidate is verified with the exact popcount.  Cost is the classic LSH
+    shape: per-band bucket self-joins, never all-pairs.
+    """
+    if max_hamming >= bands:
+        raise ValueError("exact recall needs max_hamming < bands (pigeonhole)")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(docs, bits=bits, family=family).select("doc_id", "simhash")
+    banded = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}),"
+            f" b -> shiftright(simhash, b * {width}) & {mask}L)"
+        )).alias("band", "chunk"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.chunk") == F.col("b.chunk"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"),
+                 F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.first(F.expr("bit_count(a.simhash ^ b.simhash)")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return simhash_neardup_pairs(docs, max_hamming=3)

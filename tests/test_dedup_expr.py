@@ -220,3 +220,40 @@ def test_duplicate_clusters_long_chain_converges(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in duplicate_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_simhash_neardup_matches_brute_force(spark):
+    """Band blocking (4 x 15-bit slices) has provably perfect recall for
+    Hamming <= 3 (pigeonhole): banded output equals brute-force all-pairs."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    rows = []
+    for i in range(12):
+        base = f"alpha beta gamma delta epsilon zeta{i} eta theta iota kappa"
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base.replace("kappa", "kappb")))  # tiny edit
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got = sorted(map(tuple, simhash_neardup_pairs(docs, max_hamming=3).collect()))
+
+    fp = simhash(docs, bits=60, family="md5").select("doc_id", "simhash")
+    brute = (
+        fp.alias("a").join(fp.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                F.expr("cast(bit_count(a.simhash ^ b.simhash) as int)")
+                .alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want
+
+
+def test_simhash_neardup_rejects_weak_banding(spark):
+    from ocr_engine_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(docs, max_hamming=4, bands=4)
