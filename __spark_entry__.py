@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_order": relational.q_asof_last_order,
         "event_range_page": relational.q_event_range_page,
         "rollup_revenue": relational.q_rollup_revenue,
+        "event_percentiles": relational.q_event_percentiles,
         # — text analysis —
         "token_stats": text_analysis.q_token_stats,
         "lang_id": text_analysis.q_lang_id,
@@ -302,6 +303,13 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             WHERE e.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "event_percentiles": """
+            SELECT event_type, count(*) AS n_events,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
         """,
         "rollup_revenue": """
             SELECT r_name, n_name,

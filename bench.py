@@ -44,6 +44,7 @@ HEADLINE = [
     "asof_last_order",
     "event_range_page",
     "rollup_revenue",
+    "event_percentiles",
     "token_stats",
     "lang_id",
     "quality_score",

@@ -184,6 +184,27 @@ def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type (the ordered-set
+    aggregate surface).  Exact `percentile` (one sort per group) is the
+    correctness reference; at 100 TB the engine would swap in
+    `percentile_approx` (a mergeable KLL-style sketch, no per-group sort) and
+    accept the documented rank error — the swap is a one-word change because
+    both are built-in aggregates.  Rounded to 6 dp so cross-engine
+    interpolation arithmetic (ulp-level association differences) cannot break
+    the value hash."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP (region -> nation -> grand total) over the star join —
     the grouping-sets surface (SURVEY.md §2.5 notes it as incidental Catalyst
