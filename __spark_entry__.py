@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": text_analysis.q_token_stats,
         "lang_id": text_analysis.q_lang_id,
         "quality_score": text_analysis.q_quality_score,
+        "quality_filter": text_analysis.q_quality_filter,
         "shingle_count": text_analysis.q_shingle_count,
         "fingerprint": text_analysis.q_fingerprint,
         # — deduplication —
@@ -349,6 +350,22 @@ def oracle_sql() -> dict[str, str]:
                    round((n_chars - n_tok + 1) / n_tok, 6) AS mean_token_len,
                    CAST(n_tok AS BIGINT) AS n_tokens
             FROM t
+        """,
+        "quality_filter": r"""
+            WITH t AS (SELECT doc_id, source,
+                    CAST(length(text) AS DOUBLE) AS n_chars,
+                    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS n_tok,
+                    CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), ' +')),
+                         ['the', 'a', 'and', 'of', 'to'])) AS DOUBLE) AS n_stop
+              FROM documents)
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+                   round(n_punct / n_chars, 6) AS punct_ratio,
+                   round(n_stop / greatest(n_tok, 1.0), 6) AS stop_ratio
+            FROM t
+            WHERE CAST(n_tok AS BIGINT) >= 10
+              AND round(n_punct / n_chars, 6) <= 0.1
+              AND round(n_stop / greatest(n_tok, 1.0), 6) >= 0.02
         """,
         "shingle_count": """
             SELECT doc_id, CAST(count(DISTINCT substr(substr(text, 1, 200), CAST(i AS INTEGER), 8)) AS BIGINT) AS n_shingles

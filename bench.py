@@ -48,6 +48,7 @@ HEADLINE = [
     "token_stats",
     "lang_id",
     "quality_score",
+    "quality_filter",
     "shingle_count",
     "fingerprint",
     "exact_dedup",

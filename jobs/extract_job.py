@@ -45,6 +45,10 @@ def main() -> None:
                     help="turns of one conversation per salt bucket (skew bound)")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[N] cores; 0 = use existing/spark-submit session")
+    ap.add_argument("--word-formation-mode", default=None,
+                    choices=("word_group", "line", "tesseract", "mmocr"),
+                    help="reading-order algorithm (reference selects by import, "
+                         "/root/reference/src/ocr.py:19-21; here a flag)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,9 +72,15 @@ def main() -> None:
 
     transcripts = read_table(spark, args.input, flavor=args.input_flavor)
 
+    from ocr_engine_spark.config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+    if args.word_formation_mode:
+        cfg = cfg.override(word_formation_mode=args.word_formation_mode)
+
     summary = run_extraction(
         spark, transcripts, args.output, run_id=args.run_id,
-        n_buckets=args.n_buckets, salt_block=args.salt_block)
+        n_buckets=args.n_buckets, salt_block=args.salt_block, cfg=cfg)
     print(json.dumps(summary))
     spark.stop()
 

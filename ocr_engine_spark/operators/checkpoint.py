@@ -104,12 +104,16 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
             .mapInPandas(passthrough_wrapper(_extract_batches(cfg), ["p"]),
                          schema=out_schema)
         )
-        # one pass over the input: the kernel output is persisted (spilling to disk
-        # when it outgrows memory), the data write consumes it, and the metrics
-        # aggregation reuses the SAME materialization — the input is scanned once
-        # and the freshly-written output is never read back (the previous spelling
-        # re-read the entire output dataset after every run)
-        extracted.persist(StorageLevel.MEMORY_AND_DISK)
+        # one pass over the input: the kernel output is persisted, the data write
+        # consumes it, and the metrics aggregation reuses the SAME materialization
+        # — the input is scanned once and the freshly-written output is never read
+        # back (the previous spelling re-read the entire output dataset per run).
+        # DISK_ONLY, not MEMORY_AND_DISK: memory caching unrolls a whole bucket
+        # partition into storage memory and OOMs small heaps on fat buckets,
+        # while disk blocks stream out incrementally (measured: a 1.1M-turn /
+        # 4-bucket run OOMs a default 1g driver with memory caching and passes
+        # with disk-only)
+        extracted.persist(StorageLevel.DISK_ONLY)
         try:
             overwrite_partitions(extracted, data_path, "p")
 

@@ -114,3 +114,38 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
         ).alias("rolling_hash"),
     )
+
+
+def quality_filter(docs: DataFrame, min_tokens: int = 10,
+                   max_punct_ratio: float = 0.1,
+                   min_stop_ratio: float = 0.02) -> DataFrame:
+    """The keep/drop decision stage of a training-data pipeline: a document
+    survives iff it clears token-count, punctuation-density, and stopword-density
+    thresholds (the classic Gopher/C4-style heuristics over the same ratios
+    q_quality_score reports).  Pure built-in expressions — the filter pushes into
+    the scan's surviving columns and pipelines with any downstream dedup stage
+    without an extra pass."""
+    n_chars = F.length("text").cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", "")))
+    n_tok = F.size(_tokens()).cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(_tokens()),
+            F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]]),
+        )
+    ).cast("double")
+    return (
+        docs.withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
+        .withColumn("stop_ratio",
+                    F.round(n_stop / F.greatest(n_tok, F.lit(1.0)), 6))
+        .where((F.col("n_tokens") >= min_tokens)
+               & (F.col("punct_ratio") <= max_punct_ratio)
+               & (F.col("stop_ratio") >= min_stop_ratio))
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return quality_filter(docs).select(
+        "doc_id", "source", "n_tokens", "punct_ratio", "stop_ratio")
