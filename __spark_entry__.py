@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_blas": similarity.q_embedding_topk_blas,
         "ivf_assign": similarity.q_ivf_assign,
         "ivf_topk": similarity.q_ivf_topk,
+        "ivf_topk_multiprobe": similarity.q_ivf_topk_multiprobe,
         "embedding_neardup": similarity.q_embedding_neardup,
         "embedding_neardup_ivf": similarity.q_embedding_neardup_ivf,
         # — multimodal plumbing —
@@ -485,6 +486,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM assigned q JOIN assigned c
                     ON q.vec_id < 5 AND c.centroid_id = q.centroid_id
                    AND c.vec_id != q.vec_id)
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "ivf_topk_multiprobe": f"""
+            WITH e AS ({_EMB}),
+            assigned1 AS (
+              SELECT vec_id, emb, centroid_id FROM (
+                SELECT v.vec_id, v.emb, c.vec_id AS centroid_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_COSINE.format(a="v.emb", b="c.emb")} DESC, c.vec_id) AS rn
+                FROM e v JOIN e c ON c.vec_id < 8) WHERE rn = 1),
+            q2 AS (
+              SELECT vec_id, emb, centroid_id FROM (
+                SELECT v.vec_id, v.emb, c.vec_id AS centroid_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_COSINE.format(a="v.emb", b="c.emb")} DESC, c.vec_id) AS rn
+                FROM e v JOIN e c ON c.vec_id < 8 WHERE v.vec_id < 5) WHERE rn <= 2),
+            s AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         {cos_qc} AS score
+                  FROM q2 q JOIN assigned1 c
+                    ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id)
             SELECT query_id, neighbor_id, rank, score FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
               FROM s) WHERE rank <= 5

@@ -61,6 +61,7 @@ HEADLINE = [
     "embedding_topk_blas",
     "ivf_assign",
     "ivf_topk",
+    "ivf_topk_multiprobe",
     "embedding_neardup",
     "embedding_neardup_ivf",
     "binary_features",

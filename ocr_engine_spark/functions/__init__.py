@@ -75,6 +75,31 @@ def ocr_extract(text: pd.Series) -> pd.DataFrame:
     })
 
 
+RECOGNIZE_RESULT = StructType([
+    StructField("text", StringType()),
+    StructField("conf", DoubleType()),
+    StructField("kind", StringType()),
+])
+
+
+@pandas_udf(RECOGNIZE_RESULT)
+def ocr_recognize(raw: pd.Series, kind: pd.Series) -> pd.DataFrame:
+    """E9-E11 span normalization standalone: (raw, kind) -> struct(text, conf,
+    kind) — entity decode, control strip, placeholder remap, whitespace collapse,
+    token cap, min-confidence, numeric re-kinding."""
+    from ocr_engine_spark.kernel.normalize import recognize_one
+
+    cfg = DEFAULT_CONFIG
+    rows = [
+        recognize_one(r if r is not None else "", k if k is not None else "text",
+                      cfg.placeholder_char, cfg.max_seq_len)
+        for r, k in zip(raw, kind)
+    ]
+    return pd.DataFrame({"text": [r[0] for r in rows],
+                         "conf": [r[1] for r in rows],
+                         "kind": [r[2] for r in rows]})
+
+
 @pandas_udf(DoubleType())
 def ocr_content_conf(text: pd.Series) -> pd.Series:
     """F2 span-confidence scoring exposed standalone (texty-character fraction)."""
@@ -87,6 +112,7 @@ REGISTRY = {
     "ocr_canonicalize": ocr_canonicalize,
     "ocr_detect_format": ocr_detect_format,
     "ocr_extract": ocr_extract,
+    "ocr_recognize": ocr_recognize,
     "ocr_content_conf": ocr_content_conf,
 }
 

@@ -262,3 +262,41 @@ def q_embedding_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return brute_force_topk_blas(emb, queries, k=5)
+
+
+def q_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN search: each query probes its top-2 centroid buckets
+    (the standard recall lever when the nearest neighbor straddles a Voronoi
+    boundary), corpus vectors keep single-bucket assignment, duplicate
+    (query, neighbor) hits across probes collapse before ranking."""
+    from pyspark.sql.window import Window
+
+    emb = _as_double(load(spark, sf_dir, "embeddings"))
+    vecs = emb.select("vec_id", F.col("embedding").alias("emb"))
+    centroids = emb.where(F.col("vec_id") < 8)
+    corpus = (
+        ivf_assign(emb, centroids, probes=1)
+        .join(vecs, "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"),
+                F.col("emb").alias("emb_c"), "centroid_id")
+    )
+    queries = (
+        ivf_assign(emb.where(F.col("vec_id") < 5), centroids, probes=2)
+        .join(vecs, "vec_id")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("emb_q"),
+                F.col("centroid_id").alias("q_centroid"))
+    )
+    scored = (
+        corpus.join(broadcast(queries), corpus.centroid_id == queries.q_centroid)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine("emb_q", "emb_c"), 6).alias("score"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -54,3 +54,27 @@ def test_null_and_empty_inputs(registered):
     out = registered.sql(
         "SELECT ocr_extract(text).n_spans AS n FROM tx_null").toPandas()
     assert list(out["n"]) == [0, 0, 0]
+
+
+def test_ocr_recognize_sql_matches_kernel(spark):
+    """ocr_recognize registered UDF == kernel recognize_one on decode/remap/
+    numeric-rekind cases."""
+    import pandas as pd
+
+    from ocr_engine_spark.config import DEFAULT_CONFIG
+    from ocr_engine_spark.functions import register_all
+    from ocr_engine_spark.kernel.normalize import recognize_one
+
+    register_all(spark)
+    cases = [("a &amp; b", "html"), ("[link](url) **bold**", "markdown"),
+             ("esc\\nline", "json"), ("1,234.56", "text"), ("plain ✪ here", "text")]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["raw", "kind"]))
+    df.createOrReplaceTempView("recog_in")
+    got = [
+        (r["r"]["text"], r["r"]["conf"], r["r"]["kind"])
+        for r in spark.sql(
+            "SELECT ocr_recognize(raw, kind) AS r FROM recog_in").collect()
+    ]
+    want = [recognize_one(raw, kind, DEFAULT_CONFIG.placeholder_char,
+                          DEFAULT_CONFIG.max_seq_len) for raw, kind in cases]
+    assert got == [tuple(w) for w in want]
