@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": text_analysis.q_quality_filter,
         "shingle_count": text_analysis.q_shingle_count,
         "fingerprint": text_analysis.q_fingerprint,
+        "vocab_stats": text_analysis.q_vocab_stats,
         # — deduplication —
         "exact_dedup": dedup.q_exact_dedup,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -381,6 +382,17 @@ def oracle_sql() -> dict[str, str]:
                         for i in generate_series(1, least(length(text), 64))]),
                      (acc, b) -> (acc * 31 + b) % 1000000007) AS rolling_hash
             FROM documents
+        """,
+        "vocab_stats": """
+            WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                       FROM documents),
+            dfx AS (SELECT t AS tok, count(*) AS df
+                    FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM d)
+                    GROUP BY t),
+            occ AS (SELECT t AS tok, count(*) AS occurrences
+                    FROM (SELECT unnest(tk) AS t FROM d) GROUP BY t)
+            SELECT dfx.tok, df, occurrences FROM dfx JOIN occ ON dfx.tok = occ.tok
+            ORDER BY df DESC, dfx.tok ASC LIMIT 50
         """,
         "exact_dedup": """
             WITH h AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),

@@ -51,6 +51,7 @@ HEADLINE = [
     "quality_filter",
     "shingle_count",
     "fingerprint",
+    "vocab_stats",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "dedup_clusters",

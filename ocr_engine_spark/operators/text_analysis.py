@@ -149,3 +149,22 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return quality_filter(docs).select(
         "doc_id", "source", "n_tokens", "punct_ratio", "stop_ratio")
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: document frequency + total occurrence count
+    per token, top-50 by df (the table a tokenizer/stopword build reads, and the
+    same df computation the prefix-filtered Jaccard join uses internally).  One
+    map-side-combinable aggregation over exploded tokens; the shuffle carries one
+    row per distinct token, never the corpus."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+    occ = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    occ_counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("occurrences"))
+    return (
+        df_counts.join(occ_counts, "tok")
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(50)
+        .select("tok", "df", "occurrences")
+    )
