@@ -57,3 +57,13 @@ def test_query_matches_oracle(spark, entrymod, duck, name):
 def test_rows_only_queries_run(spark, entrymod, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_every_query_has_a_value_oracle():
+    """The correctness gate is only as wide as oracle coverage: every queries()
+    entry must carry DuckDB oracle SQL (no rows-only checks), and no oracle may
+    point at a nonexistent query."""
+    import __spark_entry__ as entrymod
+
+    q, o = set(entrymod.queries()), set(entrymod.oracle_sql())
+    assert q == o, f"missing oracles: {q - o}; orphaned oracles: {o - q}"
