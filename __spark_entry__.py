@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — similarity search —
         "embedding_topk": similarity.q_embedding_topk,
         "embedding_topk_blas": similarity.q_embedding_topk_blas,
+        "kmeans_centroids": similarity.q_kmeans_centroids,
         "ivf_assign": similarity.q_ivf_assign,
         "ivf_topk": similarity.q_ivf_topk,
         "ivf_topk_multiprobe": similarity.q_ivf_topk_multiprobe,
@@ -189,9 +190,48 @@ _MINHASH_CTES = """sh AS (
               WHERE jaccard >= 0.5)"""
 
 
+# Seeded deterministic Lloyd's rounds (operators/similarity.train_centroids)
+# replayed as a CTE chain ending in ``cent(centroid_id, emb)``.  The centroid
+# update sums INTEGER-quantized components (floor(x*quant + 0.5) bigints), so the
+# mean's numerator is exact order-independent arithmetic in both engines; the one
+# float op per component is the final double division by (count * quant).
+def _kmeans_ctes(k: int = 8, iterations: int = 3,
+                 quant: int = 10_000_000) -> str:
+    cos_vc = _COSINE.format(a="v.emb", b="c.emb")
+    parts = [
+        f"""qz AS (SELECT vec_id, emb,
+              [CAST(floor(x * {quant} + 0.5) AS BIGINT) for x in emb] AS qc
+            FROM e)""",
+        f"c0 AS (SELECT vec_id AS centroid_id, emb FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for r in range(iterations):
+        parts.append(f"""a{r} AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {cos_vc} DESC, c.centroid_id) AS rn
+                FROM qz v JOIN c{r} c ON true) WHERE rn = 1)""")
+        parts.append(f"""s{r} AS (
+              SELECT a.centroid_id, i, sum(v.qc[CAST(i AS INTEGER)]) AS s,
+                     count(*) AS n
+              FROM a{r} a JOIN qz v USING (vec_id),
+                   unnest(generate_series(1, len(v.qc))) AS g(i)
+              GROUP BY a.centroid_id, i)""")
+        parts.append(f"""c{r + 1} AS (
+              SELECT p.centroid_id, COALESCE(m.emb2, p.emb) AS emb
+              FROM c{r} p LEFT JOIN (
+                SELECT centroid_id,
+                       list(CAST(s AS DOUBLE) / (n * {quant}.0) ORDER BY i) AS emb2
+                FROM s{r} GROUP BY centroid_id) m USING (centroid_id))""")
+    parts.append(f"cent AS (SELECT centroid_id, emb FROM c{iterations})")
+    return ",\n            ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     cos_qc = _COSINE.format(a="q.emb", b="c.emb")
     cos_ab = _COSINE.format(a="a.emb", b="b.emb")
+    cos_vc = _COSINE.format(a="v.emb", b="c.emb")
+    km = _kmeans_ctes()
     return {
         "extract_documents": """
             SELECT doc_id,
@@ -476,23 +516,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
               FROM s) WHERE rank <= 5
         """,
+        "kmeans_centroids": f"""
+            WITH e AS ({_EMB}),
+            {km}
+            SELECT centroid_id,
+                   round(list_sum([x * x for x in emb]), 6) AS sq_norm,
+                   round(emb[1], 6) AS c0,
+                   round(emb[2], 6) AS c1
+            FROM cent
+        """,
         "ivf_assign": f"""
             WITH e AS ({_EMB}),
-            s AS (SELECT v.vec_id, c.vec_id AS centroid_id,
-                         {_COSINE.format(a="v.emb", b="c.emb")} AS centroid_score
-                  FROM e v JOIN e c ON c.vec_id < 8)
+            {km},
+            s AS (SELECT v.vec_id, c.centroid_id,
+                         {cos_vc} AS centroid_score
+                  FROM e v JOIN cent c ON true)
             SELECT vec_id, centroid_id, centroid_score FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY centroid_score DESC, centroid_id) AS rn
               FROM s) WHERE rn = 1
         """,
         "ivf_topk": f"""
             WITH e AS ({_EMB}),
+            {km},
             assigned AS (
               SELECT vec_id, emb, centroid_id FROM (
-                SELECT v.vec_id, v.emb, c.vec_id AS centroid_id,
+                SELECT v.vec_id, v.emb, c.centroid_id,
                        row_number() OVER (PARTITION BY v.vec_id
-                         ORDER BY {_COSINE.format(a="v.emb", b="c.emb")} DESC, c.vec_id) AS rn
-                FROM e v JOIN e c ON c.vec_id < 8) WHERE rn = 1),
+                         ORDER BY {cos_vc} DESC, c.centroid_id) AS rn
+                FROM e v JOIN cent c ON true) WHERE rn = 1),
             s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                          {cos_qc} AS score
                   FROM assigned q JOIN assigned c
@@ -504,18 +555,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_topk_multiprobe": f"""
             WITH e AS ({_EMB}),
+            {km},
             assigned1 AS (
               SELECT vec_id, emb, centroid_id FROM (
-                SELECT v.vec_id, v.emb, c.vec_id AS centroid_id,
+                SELECT v.vec_id, v.emb, c.centroid_id,
                        row_number() OVER (PARTITION BY v.vec_id
-                         ORDER BY {_COSINE.format(a="v.emb", b="c.emb")} DESC, c.vec_id) AS rn
-                FROM e v JOIN e c ON c.vec_id < 8) WHERE rn = 1),
+                         ORDER BY {cos_vc} DESC, c.centroid_id) AS rn
+                FROM e v JOIN cent c ON true) WHERE rn = 1),
             q2 AS (
               SELECT vec_id, emb, centroid_id FROM (
-                SELECT v.vec_id, v.emb, c.vec_id AS centroid_id,
+                SELECT v.vec_id, v.emb, c.centroid_id,
                        row_number() OVER (PARTITION BY v.vec_id
-                         ORDER BY {_COSINE.format(a="v.emb", b="c.emb")} DESC, c.vec_id) AS rn
-                FROM e v JOIN e c ON c.vec_id < 8 WHERE v.vec_id < 5) WHERE rn <= 2),
+                         ORDER BY {cos_vc} DESC, c.centroid_id) AS rn
+                FROM e v JOIN cent c ON true WHERE v.vec_id < 5) WHERE rn <= 2),
             s AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                          {cos_qc} AS score
                   FROM q2 q JOIN assigned1 c
@@ -533,12 +585,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup_ivf": f"""
             WITH e AS ({_EMB}),
+            {km},
             assigned AS (
               SELECT vec_id, emb, label, centroid_id FROM (
-                SELECT v.vec_id, v.emb, v.label, c.vec_id AS centroid_id,
+                SELECT v.vec_id, v.emb, v.label, c.centroid_id,
                        row_number() OVER (PARTITION BY v.vec_id
-                         ORDER BY {_COSINE.format(a="v.emb", b="c.emb")} DESC, c.vec_id) AS rn
-                FROM e v JOIN e c ON c.vec_id < 8) WHERE rn <= 2),
+                         ORDER BY {cos_vc} DESC, c.centroid_id) AS rn
+                FROM e v JOIN cent c ON true) WHERE rn <= 2),
             cand AS (
               SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
               FROM assigned a JOIN assigned b

@@ -157,6 +157,9 @@ def main() -> None:
         # hygiene between queries (untimed): drop query-local persists and let the
         # ContextCleaner reclaim checkpoint blocks, so one query's working set
         # never degrades the next query's measurement
+        from ocr_engine_spark.operators.dedup import release_persisted_artifacts
+
+        release_persisted_artifacts()
         spark.catalog.clearCache()
         gc.collect()
 

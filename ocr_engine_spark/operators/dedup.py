@@ -26,6 +26,38 @@ from ocr_engine_spark.operators.relational import load
 
 LONG_MAX = (1 << 63) - 1
 
+# Persisted build-side artifacts (LSH signatures, ppjoin prefixes/sets): the
+# builders return LAZY DataFrames, so there is no natural in-function unpersist
+# point — the cache must outlive the call and be released by the caller.  Every
+# internal persist registers here; sessions that run many dedup queries (the
+# bench isolates per query with spark.catalog.clearCache()) should call
+# release_persisted_artifacts() after consuming a result to drop the blocks.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted_artifacts() -> int:
+    """Unpersist every dedup build-side artifact cached by earlier calls.
+
+    Returns the number of frames released.  Safe to call at any time: consuming
+    a returned DataFrame after release only loses the cache, not correctness.
+    """
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
 
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Spread a small single-file scan across all cores before expression-heavy
@@ -154,8 +186,6 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
     """
     if family not in HASH_FAMILIES:
         raise ValueError(f"family must be one of {HASH_FAMILIES}")
-    from pyspark import StorageLevel
-
     rows = num_hashes // bands
     # Shared per-shingle hash column: the signature fold AND the verification set
     # both read `hp`, so each shingle is hashed ONCE per row (re-deriving the
@@ -191,10 +221,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
     # equals string-set Jaccard up to hash collisions (~2^-60 per pair).
     # Persisted: banding and verification are both consumers (the write-once /
     # join-twice LSH artifact; a cluster job would checkpoint this table).
-    sigs = (
+    sigs = _persist_tracked(
         staged.withColumn("hp", F.expr(hp))
         .select("doc_id", F.expr(sig).alias("minhash"), F.expr(sset).alias("sset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sigs.select(
         "doc_id",
@@ -265,7 +294,6 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_num: int = 3,
     ``t = threshold_num/threshold_den`` is kept rational so the prefix length uses
     exact integer ceil (no float-boundary risk): ceil(t*n) = (num*n + den-1) div den.
     """
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     t = threshold_num / threshold_den
@@ -288,20 +316,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_num: int = 3,
     # persist the two reused build sides: the self-join and the two-sided verify
     # would otherwise recompute their whole subtrees per side (on a cluster these
     # are the standard write-once/join-twice LSH artifacts)
-    prefix = (
+    prefix = _persist_tracked(
         ranked.where(F.col("rn") <= F.col("n")
                      - F.expr(f"(({threshold_num} * n + {threshold_den - 1})"
                               f" div {threshold_den})") + 1)
         .select("doc_id", "source", "tok", "n", "rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # verification sets hold hashed tokens: bigint array_intersect is ~3x cheaper
     # than string intersect and shuffles a fraction of the bytes; Jaccard over
     # distinct 64-bit token hashes equals string-set Jaccard up to xxhash64
     # collisions (~2^-64 per pair), the same argument as minhash verification
-    sets = docs.select(
+    sets = _persist_tracked(docs.select(
         "doc_id", F.expr("transform(wset, t -> xxhash64(t))").alias("wset"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     num, den = threshold_num, threshold_den
     # ppjoin's two additional exact candidate filters, applied inside the join:
     # - LENGTH: J >= t forces t * max(|A|,|B|) <= min(|A|,|B|);
@@ -414,6 +441,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -430,7 +458,16 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         labels = merged
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # Returning partially-propagated labels would be silently WRONG clusters.
+        # A component's diameter exceeding max_iterations is pathological for
+        # near-dup graphs (they are shallow), so fail loudly instead.
+        raise RuntimeError(
+            f"duplicate_clusters did not reach a fixpoint within "
+            f"{max_iterations} label-propagation rounds; a component's diameter "
+            f"exceeds the cap — raise max_iterations for chain-shaped graphs")
     return labels.select("doc_id", "cluster_id")
 
 

@@ -49,24 +49,24 @@ def q_manifest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     The demo manifest is derived from the documents table itself (every doc_id with
     doc_id % 20 == 3), so query and oracle agree at EVERY scale factor — no
     hard-coded upper bound.  One malformed row is planted to exercise quarantine.
+
+    The manifest is written DISTRIBUTED (``df.write.csv`` into a fresh ``mkdtemp``
+    per invocation): no O(corpus) driver-side collect, and no predictable shared
+    temp path another process could pre-create or race on.
     """
-    import hashlib
     import tempfile
 
     from ocr_engine_spark.sources.manifest import (
-        read_manifest_csv, write_demo_manifest,
+        read_manifest_csv, write_manifest_distributed,
     )
 
     docs = load(spark, sf_dir, "documents")
-    ids = [r["doc_id"] for r in
-           docs.where(F.col("doc_id") % 20 == 3).select("doc_id")
-           .orderBy("doc_id").collect()]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    csv_path = os.path.join(
-        tempfile.gettempdir(), f"ocr_engine_manifest_{tag}", "manifest.csv")
-    write_demo_manifest(csv_path, ids)
+    csv_dir = os.path.join(
+        tempfile.mkdtemp(prefix="ocr_engine_manifest_"), "manifest_csv")
+    write_manifest_distributed(
+        docs.where(F.col("doc_id") % 20 == 3), csv_dir)
 
-    manifest, _quarantined = read_manifest_csv(spark, csv_path)
+    manifest, _quarantined = read_manifest_csv(spark, csv_dir)
     picked = docs.join(manifest.select("doc_id"), "doc_id", "left_semi")
     as_turns = picked.select(
         F.col("doc_id").cast("string").alias("conv_id"),

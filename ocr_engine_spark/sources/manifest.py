@@ -56,6 +56,28 @@ def read_manifest_csv(spark: SparkSession, path: str,
     return good, quarantined
 
 
+def write_manifest_distributed(docs: DataFrame, out_dir: str,
+                               include_bad_row: bool = True) -> str:
+    """Materialize a manifest CSV DIRECTORY with ``df.write.csv`` — no driver-side
+    collect, so an O(corpus)-sized id set never lands on the driver.  ``docs`` must
+    carry ``doc_id``; each part file gets its own header and Spark's header-aware
+    reader (read_manifest_csv) handles the multi-file layout transparently.
+
+    The planted malformed row (quarantine exerciser) is unioned in as data, the
+    same way a real upstream would hand us a dirty manifest."""
+    man = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("out/"), F.col("doc_id").cast("string"),
+                 F.lit(".tsv")).alias("out_path"),
+    )
+    if include_bad_row:
+        bad = docs.sparkSession.createDataFrame(
+            [("not_a_number", "out/bad.tsv")], "doc_id string, out_path string")
+        man = man.unionByName(bad)
+    man.write.mode("overwrite").option("header", "true").csv(out_dir)
+    return out_dir
+
+
 def write_demo_manifest(path: str, doc_ids, include_bad_row: bool = True) -> str:
     """Materialize a small driver-side manifest CSV (the reference's input shape).
     ``include_bad_row`` plants one malformed row so the quarantine path runs in

@@ -27,20 +27,18 @@ CONV_PROGRESS_SCHEMA = ("conv_id string, turns bigint, spans bigint, "
                         "last_turn_idx int")
 
 
-def conversation_progress_stream(extracted, timeout_ms: int = 60_000):
-    """Custom stateful operator (applyInPandasWithState): per-conversation running
-    totals — turns seen, spans emitted, highest turn_idx — updated incrementally
-    across micro-batches and emitted on every update.
+def _progress_update(timeout_ms: int):
+    """The applyInPandasWithState update function (module-level so the timeout
+    path is unit-testable without a live streaming query)."""
 
-    The per-turn kernel is stateless, so this is the ONE place the streaming
-    surface needs keyed state: conversation-level progress/lineage (the streaming
-    analogue of the reference's per-run manifest accumulation,
-    /root/reference/run.py:91-118).  State is bounded: three numbers per live
-    conversation, dropped after ``timeout_ms`` of inactivity (processing time).
-    """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def update(key, pdfs, state: GroupState):
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # Timeout invocation carries no data: drop the state (this is what
+            # actually bounds it) and emit nothing — re-saving here would both
+            # leak the entry forever and re-emit a stale duplicate row per
+            # timeout interval.
+            state.remove()
+            return
         turns = spans = 0
         last = -1
         if state.exists:
@@ -57,6 +55,23 @@ def conversation_progress_stream(extracted, timeout_ms: int = 60_000):
             "last_turn_idx": [last],
         })
 
+    return update
+
+
+def conversation_progress_stream(extracted, timeout_ms: int = 60_000):
+    """Custom stateful operator (applyInPandasWithState): per-conversation running
+    totals — turns seen, spans emitted, highest turn_idx — updated incrementally
+    across micro-batches and emitted on every update.
+
+    The per-turn kernel is stateless, so this is the ONE place the streaming
+    surface needs keyed state: conversation-level progress/lineage (the streaming
+    analogue of the reference's per-run manifest accumulation,
+    /root/reference/run.py:91-118).  State is bounded: three numbers per live
+    conversation, dropped after ``timeout_ms`` of inactivity (processing time).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    update = _progress_update(timeout_ms)
     return (
         extracted.select("conv_id", "turn_idx", "n_spans")
         .groupBy("conv_id")

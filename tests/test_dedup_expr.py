@@ -257,3 +257,19 @@ def test_simhash_neardup_rejects_weak_banding(spark):
     docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_neardup_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_duplicate_clusters_raises_when_unconverged(spark):
+    """A component whose diameter exceeds max_iterations must fail loudly —
+    silently returning partially-propagated labels would be wrong clusters."""
+    import pytest as _pytest
+
+    from ocr_engine_spark.operators.dedup import duplicate_clusters
+
+    n = 8  # path graph 0-1-...-8, diameter 8 > 2 rounds
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "doc_id_a": list(range(n)), "doc_id_b": list(range(1, n + 1)),
+        "jaccard": [0.9] * n,
+    }))
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        duplicate_clusters(pairs, max_iterations=2).collect()

@@ -1,0 +1,148 @@
+"""The vectorized batch fast path must be byte-identical to the per-turn oracle.
+
+`kernel.pipeline.extract_frame` routes plain-format rows through a closed-form
+pandas/numpy path; `extract_turn` is the unchanged per-turn oracle.  These tests
+pin field-level equality between the two on every corpus we have: the fixture
+generator, the bench corpus, handcrafted adversarial payloads, and
+hypothesis-generated text (non-default configs included, which disable or
+parameterize the fast path).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_engine_spark.config import DEFAULT_CONFIG
+from ocr_engine_spark.kernel.pipeline import extract_frame, extract_turn
+
+
+def _frame(texts):
+    return pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": np.arange(len(texts), dtype="int32"),
+        "text": texts,
+    })
+
+
+def assert_frame_matches_oracle(texts, cfg=DEFAULT_CONFIG):
+    out = extract_frame(_frame(texts), cfg)
+    assert len(out) == len(texts)
+    for i, text in enumerate(texts):
+        want = extract_turn(text if text is not None else "", cfg)
+        row = out.iloc[i]
+        assert row["extracted_text"] == want["extracted_text"], (i, text)
+        assert list(row["spans"]) == want["spans"], (i, text)
+        assert int(row["n_spans"]) == want["n_spans"], (i, text)
+        assert float(row["strip_ratio"]) == want["strip_ratio"], (i, text)
+        assert row["fmt"] == want["fmt"], (i, text)
+        assert bool(row["is_blank"]) == want["is_blank"], (i, text)
+        assert float(row["angle"]) == want["angle"], (i, text)
+        assert float(row["page_skew"]) == want["page_skew"], (i, text)
+
+
+ADVERSARIAL = [
+    None,
+    "",
+    " ",
+    "\n",
+    "\n\n\n",
+    "plain single line",
+    "  leading and trailing   ",
+    "line one\nline two\nline three",
+    "first\n\n\nafter blanks",
+    "> quoted reply",
+    "> > double quoted\n> single\nplain tail",
+    ">unspaced quote",
+    "> ",                      # quote prefix only -> blank after deskew
+    "tab\tinside",             # tab: non-texty token -> conf < 1
+    "\ttab leading",
+    "trailing tab\t",
+    "1,234.56",                # numeric re-kind
+    "2024-01-02 13:45:00",
+    "price $12.50 each",       # $ is non-texty -> dirty-token min conf
+    "(parenthetical) & symbols %",
+    "windows\r\nnewline\rmix",
+    "unicode é café — naïve's test’s",
+    "combining é normalizes",  # NFC changes the string
+    "<b>html</b> tags",
+    "no tags but a < b comparison",
+    "# heading markdown",
+    "- list item",
+    "1. numbered item",
+    "2. two\n3. three",
+    "text with [link](http://x) inline",
+    "**bold** start",
+    '{"json": "payload", "n": 3}',
+    "[1, 2, 3]",
+    "   {spaced json-ish}",
+    "code ``` fence\nbody\n```",
+    "placeholder ✪ char",
+    "control\x07char",
+    "\x1f\x7f",
+    "multi  spaces   collapse",
+    "ends mid sentence because truncat",
+    "> - quoted list item",     # deskew EXPOSES a markdown marker
+    "> # quoted heading",
+    "x" * 300,
+    ("word " * 50).strip() + "\n" + ("tok " * 30).strip(),
+]
+
+
+def test_adversarial_corpus_matches_oracle():
+    assert_frame_matches_oracle(ADVERSARIAL)
+
+
+def test_generator_corpus_matches_oracle():
+    from ocr_engine_spark.sources.transcripts import generate_transcripts
+
+    pdf = generate_transcripts(60, seed=313, whale_factor=3)
+    assert_frame_matches_oracle(list(pdf["text"]))
+
+
+def test_nondefault_configs_match_oracle():
+    texts = ADVERSARIAL[:28]
+    # truncation cap exercises the max_chars slice; tiny max_seq_len exercises
+    # the token-bound demotion; higher score_thr drops low-conf lines; margins
+    # disable the vectorized path entirely
+    for cfg in (
+        DEFAULT_CONFIG.override(max_chars=16),
+        DEFAULT_CONFIG.override(max_seq_len=3),
+        DEFAULT_CONFIG.override(score_thr=0.9),
+        DEFAULT_CONFIG.override(extend_span_start=0.1, extend_span_end=0.05),
+        DEFAULT_CONFIG.override(word_formation_mode="tesseract"),
+        DEFAULT_CONFIG.override(word_formation_mode="mmocr"),
+        DEFAULT_CONFIG.override(word_formation_mode="word_group"),
+    ):
+        assert_frame_matches_oracle(texts, cfg)
+
+
+def test_bench_corpus_slice_matches_oracle():
+    pq = pytest.importorskip("pyarrow.parquet")
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "BENCH" / "transcripts_bench.parquet"
+    if not p.exists():
+        pytest.skip("bench corpus not present")
+    pdf = pq.read_table(str(p), columns=["conv_id", "turn_idx", "text"]) \
+        .slice(0, 4000).to_pandas()
+    out = extract_frame(pdf)
+    for i in range(len(pdf)):
+        want = extract_turn(pdf["text"].iat[i] or "")
+        row = out.iloc[i]
+        assert row["extracted_text"] == want["extracted_text"]
+        assert list(row["spans"]) == want["spans"]
+        assert float(row["strip_ratio"]) == want["strip_ratio"]
+        assert float(row["angle"]) == want["angle"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)),
+        max_size=120),
+    min_size=1, max_size=8))
+def test_hypothesis_text_matches_oracle(texts):
+    assert_frame_matches_oracle(texts)

@@ -131,3 +131,96 @@ def test_blas_topk_matches_expression_topk(spark, planted):
     b = sorted(map(tuple, brute_force_topk_blas(planted, queries, k=4)
                    .select("query_id", "neighbor_id", "rank").collect()))
     assert a == b
+
+
+def test_blas_topk_tie_heavy_exact(spark):
+    """Adversarial mass-tie input: many corpus vectors share the identical raw
+    score, so the winners are decided purely by the neighbor-id tie-break.  The
+    rounding-tie-safe local cut must surface the same rows as the expression
+    path (the old fixed +8 buffer could drop a low-id winner)."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_blas,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=8)
+    v /= np.linalg.norm(v)
+    w = rng.normal(size=8)
+    w -= (w @ v) * v
+    w /= np.linalg.norm(w)
+    rows = [(0, v.tolist(), "q")]
+    # 40 vectors at the SAME cosine to v (same v/w mix) -> 40-way raw-score tie,
+    # ids descending in insertion order to stress the ordering
+    mix = (0.8 * v + 0.6 * w)
+    for i in range(40, 0, -1):
+        rows.append((i, mix.tolist(), "c"))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows],
+                      "label": [r[2] for r in rows]}))
+    queries = df.where(F.col("vec_id") == 0)
+    a = sorted(map(tuple, brute_force_topk(df, queries, k=5)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, brute_force_topk_blas(df, queries, k=5)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b
+    assert [t[1] for t in b] == [1, 2, 3, 4, 5]  # id-ascending tie-break won
+
+
+def test_kmeans_improves_assignment_objective(spark, planted):
+    """Lloyd's guarantee: the mean cosine of vectors to their assigned centroid
+    must not decrease across iterations — trained centroids are load-bearing,
+    not the accidental seed vectors."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.similarity import ivf_assign, train_centroids
+
+    def objective(centroids):
+        return (ivf_assign(planted, centroids, probes=1)
+                .agg(F.avg("centroid_score")).collect()[0][0])
+
+    seeds = planted.where(F.col("vec_id") < 8).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("embedding"))
+    trained1 = train_centroids(planted, k=8, iterations=1).withColumnRenamed(
+        "centroid_id", "vec_id")
+    trained3 = train_centroids(planted, k=8, iterations=3).withColumnRenamed(
+        "centroid_id", "vec_id")
+    o_seed, o_1, o_3 = objective(seeds), objective(trained1), objective(trained3)
+    assert o_1 > o_seed  # one mean-update strictly improves on raw seed vectors
+    assert o_3 >= o_1 - 1e-9  # Lloyd's is monotone (up to rounding)
+
+
+def test_kmeans_deterministic_across_partitionings(spark, planted):
+    """Quantized-integer means are order-independent: training on a reshuffled
+    input yields bit-identical centroids."""
+    from ocr_engine_spark.operators.similarity import train_centroids
+
+    a = {r["centroid_id"]: list(r["embedding"])
+         for r in train_centroids(planted, k=8, iterations=3).collect()}
+    b = {r["centroid_id"]: list(r["embedding"])
+         for r in train_centroids(planted.repartition(7), k=8,
+                                  iterations=3).collect()}
+    assert a == b
+
+
+def test_kmeans_twin_recall_not_worse_than_seeds(spark, planted):
+    """Planted twins (cosine ~0.999) must co-bucket at least as often under
+    trained centroids as under pseudo-seed centroids."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.operators.similarity import ivf_assign, train_centroids
+
+    def recall(centroids):
+        assign = {r["vec_id"]: r["centroid_id"]
+                  for r in ivf_assign(planted, centroids, probes=1).collect()}
+        hits = sum(1 for i in range(10) if assign[i] == assign[100 + i])
+        return hits / 10
+
+    seeds = planted.where(F.col("vec_id") < 8).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    trained = train_centroids(planted, k=8, iterations=3).withColumnRenamed(
+        "centroid_id", "vec_id")
+    assert recall(trained) >= recall(seeds)
+    assert recall(trained) >= 0.9  # near-identical twins almost always co-bucket

@@ -90,3 +90,61 @@ def test_conversation_progress_stateful(spark, stream_dir):
              F.max("turn_idx").alias("last_turn_idx")).collect()
     }
     assert got == want
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-testing the update function."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._value = value
+        self.hasTimedOut = has_timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None and not self.removed
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_progress_update_timeout_drops_state_and_emits_nothing():
+    """When ProcessingTimeTimeout fires, the update function is invoked with an
+    empty batch iterator and hasTimedOut=True: state must be removed (bounded
+    state) and NO stale row re-emitted."""
+    from ocr_engine_spark.streaming.stream import _progress_update
+
+    update = _progress_update(timeout_ms=60_000)
+    state = _StubState(value=(5, 7, 4), has_timed_out=True)
+    out = list(update(("conv-x",), iter([]), state))
+    assert out == []                 # no duplicate stale progress row
+    assert state.removed             # state actually dropped
+    assert state.timeout_set is None  # timeout NOT re-armed
+
+
+def test_progress_update_accumulates_and_rearms():
+    import pandas as pd
+
+    from ocr_engine_spark.streaming.stream import _progress_update
+
+    update = _progress_update(timeout_ms=1234)
+    state = _StubState(value=(2, 3, 1))
+    pdf = pd.DataFrame({"turn_idx": [2, 5], "n_spans": [1, 4]})
+    out = list(update(("conv-y",), iter([pdf]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["turns"], row["spans"], row["last_turn_idx"]) == (4, 8, 5)
+    assert state.get == (4, 8, 5)
+    assert state.timeout_set == 1234
