@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — extraction pipeline (fused Arrow kernel) —
         "extract_documents": documents.q_extract_documents,
         "manifest_extract": documents.q_manifest_extract,
+        "html_extract": documents.q_html_extract,
+        "markdown_extract": documents.q_markdown_extract,
         "explode_parts": documents.q_explode_parts,
         "explode_parts_range": documents.q_explode_parts_range,
         "multi_source_union": documents.q_multi_source_union,
@@ -81,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — multimodal plumbing —
         "binary_features": multimodal.q_binary_features,
         "media_frames": multimodal.q_media_frames,
+        "media_decode": multimodal.q_media_decode,
     }
 
 
@@ -247,6 +250,61 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(trim(text), '\\s+', ' ', 'g') AS extracted_text,
                    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE 1 END AS n_spans
             FROM documents WHERE doc_id % 20 = 3
+        """,
+        # kernel detect->NMS->stitch path over an SQL-constructed HTML payload:
+        # '<html><script>var x = 1;</script><p>' || text || '</p><a href="u">'
+        # || source || '</a></html>'.  The script block drops wholesale, tags
+        # block, the <a> zone halves detection conf (1.0 -> 0.5, still kept),
+        # and the two same-row runs stitch into one space-joined line.  The
+        # corpus is fully texty/single-line (verified), so trim/collapse are
+        # identity and every offset is a closed form of the column lengths.
+        "html_extract": """
+            WITH base AS (
+              SELECT doc_id, text, source,
+                     text || ' ' || source AS extracted_text,
+                     1.0 - CAST(length(text) + 1 + length(source) AS DOUBLE)
+                         / CAST(63 + length(text) + length(source) AS DOUBLE)
+                       AS strip_ratio
+              FROM documents)
+            SELECT doc_id, extracted_text, 'html' AS fmt, strip_ratio,
+                   CAST(0 AS INTEGER) AS span_idx,
+                   CAST(36 AS INTEGER) AS start,
+                   CAST(36 + length(text) AS INTEGER) AS "end",
+                   'html' AS kind, text AS span_text
+            FROM base
+            UNION ALL
+            SELECT doc_id, extracted_text, 'html' AS fmt, strip_ratio,
+                   CAST(1 AS INTEGER) AS span_idx,
+                   CAST(52 + length(text) AS INTEGER) AS start,
+                   CAST(52 + length(text) + length(source) AS INTEGER) AS "end",
+                   'html' AS kind, source AS span_text
+            FROM base
+        """,
+        # markdown path: '# ' || source || '\n' || '- ' || text.  Markers are
+        # excluded from spans; markdown must WIN THE TIE with the plain parser
+        # (both find 2 passing spans; first-parser-wins keeps markdown); the two
+        # rows stitch into two lines in top-y order.
+        "markdown_extract": """
+            WITH base AS (
+              SELECT doc_id, text, source,
+                     source || chr(10) || text AS extracted_text,
+                     1.0 - CAST(length(source) + 1 + length(text) AS DOUBLE)
+                         / CAST(5 + length(source) + length(text) AS DOUBLE)
+                       AS strip_ratio
+              FROM documents)
+            SELECT doc_id, extracted_text, 'markdown' AS fmt, strip_ratio,
+                   CAST(0 AS INTEGER) AS span_idx,
+                   CAST(2 AS INTEGER) AS start,
+                   CAST(2 + length(source) AS INTEGER) AS "end",
+                   'markdown' AS kind, source AS span_text
+            FROM base
+            UNION ALL
+            SELECT doc_id, extracted_text, 'markdown' AS fmt, strip_ratio,
+                   CAST(1 AS INTEGER) AS span_idx,
+                   CAST(5 + length(source) AS INTEGER) AS start,
+                   CAST(5 + length(source) + length(text) AS INTEGER) AS "end",
+                   'markdown' AS kind, text AS span_text
+            FROM base
         """,
         "explode_parts": r"""
             WITH p AS (SELECT doc_id, string_split(text, ' table ') AS parts FROM documents)
@@ -612,6 +670,36 @@ def oracle_sql() -> dict[str, str]:
                         for i in generate_series(1, least(length(text), 64))]),
                      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
             FROM documents
+        """,
+        # encode->decode roundtrip: even doc_ids become 24-bit BMPs sized by the
+        # id (pixel rows 4-byte aligned), odd ids PCM WAVs carrying the text
+        # bytes padded to the block align.  The oracle recomputes every decoded
+        # header field from the construction formulas — parsing must agree with
+        # synthesis byte-for-byte.
+        "media_decode": """
+            SELECT doc_id AS media_id,
+                   'bmp' AS kind,
+                   CAST(1 + doc_id % 37 AS INTEGER) AS width,
+                   CAST(1 + doc_id % 23 AS INTEGER) AS height,
+                   CAST(24 AS INTEGER) AS bpp,
+                   CAST(NULL AS INTEGER) AS sample_rate,
+                   CAST(NULL AS INTEGER) AS channels,
+                   CAST(NULL AS INTEGER) AS bits,
+                   CAST(((1 + doc_id % 37) * 3 + 3) // 4 * 4
+                        * (1 + doc_id % 23) AS BIGINT) AS n_data_bytes
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id AS media_id,
+                   'wav' AS kind,
+                   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+                   CAST(NULL AS INTEGER),
+                   CAST(8000 + 1000 * (doc_id % 5) AS INTEGER) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+                   CAST(16 AS INTEGER) AS bits,
+                   CAST((length(text) + (2 * (1 + doc_id % 2)) - 1)
+                        // (2 * (1 + doc_id % 2))
+                        * (2 * (1 + doc_id % 2)) AS BIGINT) AS n_data_bytes
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "media_frames": """
             WITH f AS (

@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "extract_documents",
     "manifest_extract",
+    "html_extract",
+    "markdown_extract",
     "explode_parts",
     "explode_parts_range",
     "multi_source_union",
@@ -60,6 +62,7 @@ HEADLINE = [
     "simhash_neardup",
     "embedding_topk",
     "embedding_topk_blas",
+    "kmeans_centroids",
     "ivf_assign",
     "ivf_topk",
     "ivf_topk_multiprobe",
@@ -67,6 +70,7 @@ HEADLINE = [
     "embedding_neardup_ivf",
     "binary_features",
     "media_frames",
+    "media_decode",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)

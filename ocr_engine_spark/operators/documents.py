@@ -79,6 +79,66 @@ def q_manifest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").cast("bigint").alias("doc_id"), "extracted_text", "n_spans")
 
 
+_HTML_PRE = '<html><script>var x = 1;</script><p>'   # 36 chars
+_HTML_MID = '</p><a href="u">'                       # 16 chars (< max_x_dist 20)
+_HTML_POST = '</a></html>'                           # 11 chars
+
+
+def _kernel_payload_spans(spark: SparkSession, sf_dir: str, payload) -> DataFrame:
+    """Run the FULL fused kernel over an SQL-constructed payload and explode the
+    resulting spans — the contract surface for the non-trivial detect -> NMS ->
+    stitch path (offsets, format vote, reading order all value-checked)."""
+    docs = load(spark, sf_dir, "documents")
+    as_turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        payload.alias("text"),
+    )
+    out = extract_transcripts(
+        as_turns, num_partitions=spark.sparkContext.defaultParallelism * 2)
+    return (
+        out.select(
+            F.col("conv_id").cast("bigint").alias("doc_id"),
+            "extracted_text", "fmt", "strip_ratio",
+            F.posexplode("spans").alias("span_idx", "sp"))
+        .select(
+            "doc_id", "extracted_text", "fmt", "strip_ratio",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.col("sp.start").alias("start"), F.col("sp.end").alias("end"),
+            F.col("sp.kind").alias("kind"), F.col("sp.text").alias("span_text"),
+        )
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOM-heuristic boilerplate-strip path, oracle-checked end to end
+    (reference semantics: /root/reference/src/word_formation.py:418-459 over
+    detection output): each doc is wrapped into an HTML payload with a <script>
+    boilerplate block (dropped wholesale), tag noise (stripped), and an <a> link
+    zone (link-density confidence penalty, still above score_thr).  The format
+    vote must pick the HTML parser (the plain parse scores below score_thr under
+    the tag-noise penalty); the stitcher must merge the two same-row text runs
+    into one line with a single space — all reproduced by the SQL oracle from
+    the raw text/source columns, so offsets, kinds, reading order, and
+    strip_ratio are value-checked, not just goldens."""
+    payload = F.concat(
+        F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_MID), F.col("source"),
+        F.lit(_HTML_POST))
+    return _kernel_payload_spans(spark, sf_dir, payload)
+
+
+def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The markdown marker-strip + multi-line reading-order path, oracle-checked:
+    payload = '# ' || source || newline || '- ' || text.  The markdown parser
+    must win the format vote on the TIE with the plain parser (first-parser-wins
+    tie rule, the reference's first-best-rotation quirk), leading markers are
+    excluded from span offsets, and the two rows stitch into two lines in
+    top-y order."""
+    payload = F.concat(
+        F.lit("# "), F.col("source"), F.lit("\n"), F.lit("- "), F.col("text"))
+    return _kernel_payload_spans(spark, sf_dir, payload)
+
+
 def q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 multi-part payload explode (the PDF->pages analogue,
     /root/reference/src/utils.py:231-237): one row per sentence part, keeping

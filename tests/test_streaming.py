@@ -148,3 +148,52 @@ def test_progress_update_accumulates_and_rearms():
     assert (row["turns"], row["spans"], row["last_turn_idx"]) == (4, 8, 5)
     assert state.get == (4, 8, 5)
     assert state.timeout_set == 1234
+
+
+def test_stream_job_drain_and_resume(spark, tmp_path):
+    """jobs/stream_job.py end-to-end: drain a directory with availableNow, then
+    add more input and re-run against the SAME checkpoint — only the new files
+    are processed, no duplicates (exactly-once by batch_id overwrite + WAL)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "jobs"))
+    from stream_job import run_stream
+
+    from ocr_engine_spark.streaming.stream import TRANSCRIPTS_DDL
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    pdf = generate_transcripts(8, seed=21)
+    first = spark.createDataFrame(pdf, schema=TRANSCRIPTS_DDL)
+    first.repartition(3).write.mode("append").parquet(str(src))
+    n_first = first.count()
+
+    q = run_stream(spark, str(src), str(out), max_files_per_trigger=1,
+                   available_now=True)
+    q.awaitTermination(180)
+    got1 = spark.read.parquet(str(out / "extracted"))
+    assert got1.count() == n_first
+    n_batches1 = got1.select("batch_id").distinct().count()
+    assert n_batches1 >= 2  # maxFilesPerTrigger=1 -> several micro-batches
+
+    # metrics rows exist per batch, written after data
+    m = spark.read.parquet(str(out / "batch_metrics"))
+    assert m.count() == n_batches1
+    assert m.agg({"turns": "sum"}).collect()[0][0] == n_first
+
+    # "kill and resume": a fresh run against the same checkpoint with NEW input
+    more = spark.createDataFrame(generate_transcripts(4, seed=22),
+                                 schema=TRANSCRIPTS_DDL)
+    more.coalesce(1).write.mode("append").parquet(str(src))
+    n_more = more.count()
+    q2 = run_stream(spark, str(src), str(out), max_files_per_trigger=1,
+                    available_now=True)
+    q2.awaitTermination(180)
+    got2 = spark.read.parquet(str(out / "extracted"))
+    assert got2.count() == n_first + n_more  # old files NOT reprocessed
+    # per-turn content equals the batch kernel on the union corpus
+    want = extract_transcripts(spark.read.parquet(str(src))).select(
+        "conv_id", "turn_idx", "extracted_text").orderBy("conv_id", "turn_idx")
+    gotc = got2.select("conv_id", "turn_idx", "extracted_text").orderBy(
+        "conv_id", "turn_idx")
+    assert [tuple(r) for r in gotc.collect()] == [tuple(r) for r in want.collect()]
