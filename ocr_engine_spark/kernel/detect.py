@@ -95,16 +95,16 @@ def parse_html(text: str):
     for m in _NEWLINE_RE.finditer(text):  # C-level scan, not per-char Python
         blocked[m.start()] = True
 
+    # maximal unblocked runs via boundary transitions (C-level, not a
+    # per-character Python walk): pad with True so every run has both edges
+    ext = np.empty(len(text) + 2, dtype=bool)
+    ext[0] = ext[-1] = True
+    ext[1:-1] = blocked
+    d = np.diff(ext.astype(np.int8))
+    run_starts = np.flatnonzero(d == -1)      # True -> False
+    run_ends = np.flatnonzero(d == 1)         # False -> True
     spans = []
-    n = len(text)
-    i = 0
-    while i < n:
-        if blocked[i]:
-            i += 1
-            continue
-        j = i
-        while j < n and not blocked[j]:
-            j += 1
+    for i, j in zip(run_starts.tolist(), run_ends.tolist()):
         t = _trim_span(text, i, j)
         if t is not None:
             s, e = t
@@ -112,7 +112,6 @@ def parse_html(text: str):
             if linky[s:e].any():
                 conf *= _LINK_PENALTY
             spans.append((s, e, "html", conf))
-        i = j
     return spans
 
 
@@ -255,6 +254,13 @@ def nms_spans(spans, iou_thr: float):
 
     if not spans:
         return []
+    # exact shortcut for the dominant case: every parser emits position-sorted
+    # spans, and when consecutive spans don't overlap, ALL pairs are disjoint
+    # (IoU 0 <= thr) — greedy suppression keeps everything and the final
+    # position sort returns the input unchanged
+    if iou_thr >= 0 and all(
+            spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1)):
+        return list(spans)
     order = sorted(range(len(spans)), key=lambda i: -spans[i][3])  # stable on ties
     kept = []
     for i in order:

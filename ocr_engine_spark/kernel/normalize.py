@@ -68,10 +68,14 @@ def recognize_one(raw: str, kind: str, placeholder: str, max_seq_len: int):
         s = _MD_LINK.sub(r"\1", s)
         s = _MD_EMPH.sub("", s)
     elif kind == "json":
-        try:
-            s = json.loads('"' + s + '"')
-        except ValueError:
-            pass
+        # escape sequences only exist behind a backslash: a backslash-free
+        # literal decodes to itself (and a stray quote would fail loads and
+        # fall through unchanged anyway), so the parse can be skipped
+        if "\\" in s:
+            try:
+                s = json.loads('"' + s + '"')
+            except ValueError:
+                pass
     s = _strip_controls(s)
     if placeholder and placeholder in s:
         s = s.replace(placeholder, " ")  # E11, utils.py:17-19

@@ -28,7 +28,9 @@ from ocr_engine_spark.kernel.canonicalize import canonicalize, deskew
 from ocr_engine_spark.kernel.detect import detect_spans
 from ocr_engine_spark.kernel.normalize import recognize_batch
 from ocr_engine_spark.kernel.spans import prepare_spans, slice_text
-from ocr_engine_spark.kernel.stitch import SpanWord, words_formation
+from ocr_engine_spark.kernel.stitch import (
+    SpanWord, lines_closed_form, words_formation,
+)
 
 
 _NEWLINE = re.compile("\n")
@@ -103,24 +105,29 @@ def _extract_prepared(canon: str, is_blank: bool, angle: float, raw_len: int,
     if not words:
         return empty
 
-    segments, page_skew = words_formation(
-        words, page_width, cfg.word_formation_mode,
-        cfg.max_running_y_shift_degree, cfg.gradient,
-        cfg.max_x_dist, cfg.y_overlap_threshold)
-
-    out_words = []
-    for seg in segments:
-        if seg.members:  # a Line: flatten its word-groups (dto.py:271-273 list_words)
-            for grp in seg.members:
-                out_words.extend(grp.words)
-        else:
-            out_words.extend(seg.words)
+    if cfg.word_formation_mode == "line":
+        # the engine's pseudo-geometry provably collapses the live stitch to a
+        # per-line closed form (see stitch.lines_closed_form) — O(n) per turn
+        line_texts, out_words, page_skew = lines_closed_form(words)
+        extracted = "\n".join(line_texts)
+    else:
+        segments, page_skew = words_formation(
+            words, page_width, cfg.word_formation_mode,
+            cfg.max_running_y_shift_degree, cfg.gradient,
+            cfg.max_x_dist, cfg.y_overlap_threshold)
+        out_words = []
+        for seg in segments:
+            if seg.members:  # a Line: flatten word-groups (dto.py:271-273)
+                for grp in seg.members:
+                    out_words.extend(grp.words)
+            else:
+                out_words.extend(seg.words)
+        extracted = "\n".join(seg.text for seg in segments)
     spans = [
         {"start": w.start, "end": w.end, "kind": w.kind,
          "conf": float(w.conf_cls), "text": w.text}
         for w in out_words
     ]
-    extracted = "\n".join(seg.text for seg in segments)
     strip_ratio = 1.0 - len(extracted) / raw_len if raw_len > 0 else 0.0
     return {
         "extracted_text": extracted, "spans": spans, "n_spans": len(spans),

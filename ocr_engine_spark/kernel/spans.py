@@ -72,10 +72,15 @@ def prepare_spans(raw_spans, length: int, margin_start: float, margin_end: float
     """
     prepared = []
     mask = []
+    zero_margin = margin_start == 0 and margin_end == 0
     for s, e in raw_spans:
-        s2, e2 = extend_span(s, e, margin_start, margin_end)
-        s2, e2 = clamp_span(s2, e2, length)
-        s2, e2 = span_to_int(s2, e2)
+        if zero_margin:
+            # extend is the identity; clamp/int only round-trip the ints
+            s2, e2 = int(min(max(0, s), length)), int(min(max(0, e), length))
+        else:
+            s2, e2 = extend_span(s, e, margin_start, margin_end)
+            s2, e2 = clamp_span(s2, e2, length)
+            s2, e2 = span_to_int(s2, e2)
         if not span_is_valid(s2, e2):
             prepared.append(None)
             mask.append(False)

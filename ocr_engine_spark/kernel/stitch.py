@@ -393,6 +393,50 @@ def _word_same_line(a, b, min_y_overlap_ratio):
             or overlap >= (b_max - b_min) * min_y_overlap_ratio)
 
 
+def lines_closed_form(words):
+    """Closed form of the live 'line' stitch for the engine's pseudo-geometry.
+
+    Every parser emits spans that never cross a newline, so every word's box is
+    exactly [col, li*h, col+len, li*h+h] — same-line words share one y-interval,
+    different-line boxes touch with overlap 0, strictly below the
+    max_row_size * y_overlap_threshold hit bound (h vs h/2).  Under that
+    invariant the greedy stitch provably reduces to:
+
+    - rows never span two lines and never merge (zero overlap < threshold);
+    - the running y-shift EMA is identically 0 (same-y words keep row centers
+      fixed), so page_skew == 0.0 and the shift-corrected tests equal the
+      uncorrected ones;
+    - within a line, x-gap grouping only affects INTERMEDIATE word-groups;
+      stitch_lines chains all same-line groups back into one line whose merged
+      text is ' '.join over all words in x order — the grouping cancels out;
+    - the final stable top-y sorts restore line order.
+
+    So the 'line'-mode output is: per line, words in x order joined by ' ';
+    lines joined by '\\n'; flattened word order = (line, x).  Verified
+    word-for-word against words_formation by tests/test_stitch.py (random
+    grid-geometry fuzz) and byte-for-byte by the frozen goldens.
+
+    Returns (line_texts, flat_words, page_skew) — O(n) versus the O(n^2)
+    greedy, which matters because this runs per turn at the 10^12-turn design
+    point.  Detection output is already (line, x)-sorted, so no sort happens.
+    """
+    texts = []
+    flat = []
+    cur_y = None
+    cur = []
+    for w in words:  # words arrive sorted by (start) == (line, x)
+        if w.y1 != cur_y:
+            if cur:
+                texts.append(" ".join(t.text for t in cur))
+            cur_y = w.y1
+            cur = []
+        cur.append(w)
+        flat.append(w)
+    if cur:
+        texts.append(" ".join(t.text for t in cur))
+    return texts, flat, 0.0
+
+
 def words_formation(words, page_width, mode, max_running_y_shift_degree, gradient,
                     max_x_dist, y_overlap_threshold):
     """Entry point matching words_formation_mmocr_tesseract

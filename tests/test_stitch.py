@@ -164,3 +164,46 @@ def test_words_formation_dispatches_alternates():
     lines_m, skew_m = words_formation(
         [W(0, 0, 5, 10, "x")], 100, "mmocr", 10, 0.6, 20, 0.5)
     assert [ln.text for ln in lines_m] == ["x"] and skew_m == 0.0
+
+
+def test_lines_closed_form_matches_live_stitch_fuzz():
+    """The O(n) closed form must reproduce the O(n^2) live 'line' stitch
+    word-for-word on random grid pseudo-geometry (the invariant every parser
+    guarantees: spans never cross lines, constant line height)."""
+    import random
+
+    from ocr_engine_spark.kernel.stitch import (
+        SpanWord, lines_closed_form, words_formation,
+    )
+
+    rng = random.Random(99)
+    h = 10
+    for trial in range(300):
+        words = []
+        n_lines = rng.randint(1, 6)
+        for li in range(n_lines):
+            if rng.random() < 0.25:
+                continue  # blank line
+            x = rng.randint(0, 4)
+            for _ in range(rng.randint(1, 5)):
+                ln = rng.randint(1, 9)
+                words.append(SpanWord(
+                    x1=x, y1=li * h, x2=x + ln, y2=li * h + h,
+                    text=f"w{li}_{x}", conf_det=1.0, conf_cls=1.0,
+                    start=li * 1000 + x, end=li * 1000 + x + ln, kind="text"))
+                # next word's gap: sometimes < max_x_dist, sometimes >
+                x += ln + rng.choice([1, 3, 25, 40])
+        if not words:
+            continue
+        texts, flat, skew = lines_closed_form(words)
+        segments, live_skew = words_formation(
+            words, page_width=200, mode="line",
+            max_running_y_shift_degree=10, gradient=0.6,
+            max_x_dist=20, y_overlap_threshold=0.5)
+        live_words = []
+        for seg in segments:
+            for grp in seg.members:
+                live_words.extend(grp.words)
+        assert [w.text for w in flat] == [w.text for w in live_words], trial
+        assert texts == [seg.text for seg in segments], trial
+        assert skew == live_skew == 0.0, trial
