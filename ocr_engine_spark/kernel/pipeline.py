@@ -169,7 +169,9 @@ OUTPUT_COLUMNS = [
 # ---------------------------------------------------------------------------
 
 from ocr_engine_spark.kernel.detect import _HTML_TAG, _NON_TEXTY  # noqa: E402
-from ocr_engine_spark.kernel.normalize import _NUMERIC  # noqa: E402
+from ocr_engine_spark.kernel.normalize import (  # noqa: E402
+    _MD_EMPH, _MD_LINK, _NUMERIC,
+)
 
 _QUOTE_ML = re.compile(r"(?m)^(?:> ?)+")
 # _MD_MARKER with non-capturing groups: identical as a boolean gate, and pandas
@@ -217,22 +219,17 @@ def _fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
     return ok.to_numpy()
 
 
-def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
-    """Closed-form outputs for fast rows (positional index 0..k-1).
+def _line_frame(desk: pd.Series):
+    """Explode rows into lines with absolute in-document line-start offsets.
 
-    Returns (extracted, spans, n_spans, strip_ratio) as aligned arrays/lists.
+    Returns (lines, row, line_start): ``lines`` RangeIndex-ed, ``row`` the
+    repeated (non-decreasing) source row position, ``line_start`` the offset of
+    each line's first char within its own document.
     """
-    k = len(desk)
     lines = desk.str.split("\n").explode()
-    row = lines.index.to_numpy()  # repeated row position, non-decreasing
+    row = lines.index.to_numpy()
     lines = lines.reset_index(drop=True)
-
-    ll = lines.str.len()
-    seg = lines.str.strip()
-    slen = seg.str.len().to_numpy()
-    # absolute trim offsets: line start = running sum of (len+1) within the row
-    lead = (ll - lines.str.lstrip().str.len()).to_numpy()
-    ll1 = ll.to_numpy() + 1
+    ll1 = lines.str.len().to_numpy() + 1
     cum = np.cumsum(ll1) - ll1
     if len(row):
         # per-line base = cum at the row's first line (cum is increasing, so a
@@ -241,24 +238,15 @@ def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
         row_base = np.maximum.accumulate(np.where(is_first, cum, 0))
     else:
         row_base = cum
-    abs_s = lead + cum - row_base
-    abs_e = abs_s + slen
+    return lines, row, cum - row_base
 
-    nbad = seg.str.count(_NON_TEXTY).to_numpy()
-    with np.errstate(invalid="ignore", divide="ignore"):
-        conf_det = np.where(slen > 0, (slen - nbad) / np.maximum(slen, 1), 0.0)
-    keep = (slen > 0) & (conf_det >= cfg.score_thr)
 
-    kseg = seg[keep].reset_index(drop=True)
-    krow = row[keep]
-    kbad = nbad[keep]
-    # recognition: whitespace collapse (interior runs only; ends are trimmed)
-    collapsed = kseg.str.replace(_WS_RUN, " ", regex=True)
-    ctext = collapsed.to_numpy()
-    # token-min confidence; clean lines are exactly 1.0, dirty lines take the
-    # min over their tokens that contain a non-texty char (normalize.recognize_one)
-    conf_cls = np.ones(len(kseg))
-    dirty = np.flatnonzero(kbad > 0)
+def _token_min_conf(collapsed: pd.Series, nbad: np.ndarray) -> np.ndarray:
+    """Per-line recognition confidence: min over tokens containing a non-texty
+    char of their texty fraction; exactly 1.0 for clean lines
+    (normalize.recognize_one's E10 min-aggregation)."""
+    conf_cls = np.ones(len(collapsed))
+    dirty = np.flatnonzero(nbad > 0)
     if len(dirty):
         toks = collapsed.iloc[dirty].str.split(" ").explode()
         tl = toks.str.len().to_numpy().astype(np.float64)
@@ -266,20 +254,19 @@ def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
         tconf = np.where(tb > 0, (tl - tb) / np.maximum(tl, 1.0), 1.0)
         tmin = pd.Series(tconf, index=toks.index).groupby(level=0).min()
         conf_cls[tmin.index.to_numpy()] = tmin.to_numpy()
-    is_num = collapsed.str.match(_NUMERIC).to_numpy()
+    return conf_cls
 
-    ks = abs_s[keep]
-    ke = abs_e[keep]
-    # assemble per-row span lists / extracted text in line order
+
+def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len):
+    """Per-row span lists / extracted text in line order -> output arrays."""
     spans_out = [[] for _ in range(k)]
     text_parts = [[] for _ in range(k)]
     for i in range(len(krow)):
         r = krow[i]
         t = ctext[i]
         spans_out[r].append({
-            "start": int(ks[i]), "end": int(ke[i]),
-            "kind": "num" if is_num[i] else "text",
-            "conf": float(conf_cls[i]), "text": t,
+            "start": int(ks[i]), "end": int(ke[i]), "kind": kinds[i],
+            "conf": float(confs[i]), "text": t,
         })
         text_parts[r].append(t)
     extracted = ["\n".join(p) for p in text_parts]
@@ -290,6 +277,132 @@ def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
             (n_spans > 0) & (raw_len > 0),
             1.0 - elen / np.maximum(raw_len, 1), 0.0)
     return extracted, spans_out, n_spans, strip_ratio
+
+
+def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
+    """Closed-form PLAIN outputs for fast rows (positional index 0..k-1).
+
+    Returns (extracted, spans, n_spans, strip_ratio) as aligned arrays/lists.
+    """
+    k = len(desk)
+    lines, row, line_start = _line_frame(desk)
+    ll = lines.str.len()
+    seg = lines.str.strip()
+    slen = seg.str.len().to_numpy()
+    lead = (ll - lines.str.lstrip().str.len()).to_numpy()
+    abs_s = lead + line_start
+    abs_e = abs_s + slen
+
+    nbad = seg.str.count(_NON_TEXTY).to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf_det = np.where(slen > 0, (slen - nbad) / np.maximum(slen, 1), 0.0)
+    keep = (slen > 0) & (conf_det >= cfg.score_thr)
+
+    kseg = seg[keep].reset_index(drop=True)
+    krow = row[keep]
+    # recognition: whitespace collapse (interior runs only; ends are trimmed)
+    collapsed = kseg.str.replace(_WS_RUN, " ", regex=True)
+    conf_cls = _token_min_conf(collapsed, nbad[keep])
+    is_num = collapsed.str.match(_NUMERIC).to_numpy()
+    kinds = np.where(is_num, "num", "text")
+    return _assemble(k, krow, collapsed.to_numpy(), abs_s[keep], abs_e[keep],
+                     kinds, conf_cls, raw_len)
+
+
+_MD_FENCE_LINE = re.compile(r"\s{0,3}```")
+_MD_LEAD_STRIP = re.compile(r"^\s{0,3}(?:#{1,6}\s+|[-*+]\s+|\d+\.\s+)")
+
+
+def _md_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
+    """True where the MARKDOWN closed form applies: markdown markers present,
+    html/json parsers provably inapplicable, no controls/placeholder.  The
+    plain parser still competes in the format vote — _md_outputs counts both
+    parsers' passing spans and routes plain-win rows back through the plain
+    closed form (strict-majority wins; ties keep markdown, the first-parser
+    tie rule)."""
+    ok = (
+        desk.str.contains(_MD_GATE, regex=True)
+        & ~desk.str.contains(_HTML_TAG, regex=True)
+        & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
+        & ~desk.str.contains(_CTRL, regex=True)
+        & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
+    )
+    if cfg.placeholder_char:
+        ok &= ~desk.str.contains(cfg.placeholder_char, regex=False)
+    return ok.to_numpy()
+
+
+def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
+    """Closed-form MARKDOWN outputs (detect.parse_markdown + recognition):
+    fence lines toggle skipping (parity of fences before the line), leading
+    heading/list markers are excluded from spans, recognition drops inline
+    links/emphasis, blank-after-recognition lines are dropped (F7).
+
+    Returns (extracted, spans, n_spans, strip_ratio, plain_wins) — rows where
+    the PLAIN parser finds strictly more passing spans (the E4 vote) carry
+    plain_wins=True and must be recomputed via the plain closed form.
+    """
+    k = len(desk)
+    lines, row, line_start = _line_frame(desk)
+    ll = lines.str.len()
+
+    # --- plain parser's passing count (competes in the vote) ---
+    seg_p = lines.str.strip()
+    slen_p = seg_p.str.len().to_numpy()
+    nbad_p = seg_p.str.count(_NON_TEXTY).to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf_p = np.where(slen_p > 0, (slen_p - nbad_p) / np.maximum(slen_p, 1),
+                          0.0)
+    plain_pass = (slen_p > 0) & (conf_p >= cfg.score_thr)
+
+    # --- markdown parser ---
+    fence = lines.str.match(_MD_FENCE_LINE).to_numpy()
+    fcum = pd.Series(fence.astype(np.int64)).groupby(row).cumsum().to_numpy()
+    in_fence = ((fcum - fence) % 2) == 1  # parity of fences BEFORE this line
+    rem = lines.str.replace(_MD_LEAD_STRIP, "", regex=True)
+    seg_m = rem.str.strip()
+    mlen = seg_m.str.len().to_numpy()
+    nbad_m = seg_m.str.count(_NON_TEXTY).to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf_m = np.where(mlen > 0, (mlen - nbad_m) / np.maximum(mlen, 1), 0.0)
+    md_pass = (~fence) & (~in_fence) & (slen_p > 0) & (mlen > 0) \
+        & (conf_m >= cfg.score_thr)
+
+    # --- format vote per row: plain wins only with STRICTLY more spans ---
+    pc = np.zeros(k, dtype=np.int64)
+    mc = np.zeros(k, dtype=np.int64)
+    np.add.at(pc, row[plain_pass], 1)
+    np.add.at(mc, row[md_pass], 1)
+    plain_wins = pc > mc
+
+    keep = md_pass & ~plain_wins[row]
+    # span offsets: original detected interval = trim of the marker-stripped
+    # remainder (rem = line[lead_end:], so positions map via length deltas)
+    rlen = rem.str.len().to_numpy()
+    rl_lead = (rlen - rem.str.lstrip().str.len().to_numpy())
+    abs_s = line_start + (ll.to_numpy() - rlen) + rl_lead
+    abs_e = abs_s + mlen
+
+    kseg = seg_m[keep].reset_index(drop=True)
+    krow = row[keep]
+    # recognition (normalize.recognize_one, kind='markdown'): inline link ->
+    # label, emphasis markers dropped, whitespace collapsed, trimmed
+    final = (kseg.str.replace(_MD_LINK, r"\1", regex=True)
+             .str.replace(_MD_EMPH, "", regex=True)
+             .str.replace(_WS_RUN, " ", regex=True).str.strip())
+    flen = final.str.len().to_numpy()
+    nonblank = flen > 0  # F7: blank-after-recognition dropped
+    final = final[nonblank].reset_index(drop=True)
+    krow = krow[nonblank]
+    fbad = final.str.count(_NON_TEXTY).to_numpy()
+    conf_cls = _token_min_conf(final, fbad)
+    is_num = final.str.match(_NUMERIC).to_numpy()
+    kinds = np.where(is_num, "num", "markdown")
+    ks = abs_s[keep][nonblank]
+    ke = abs_e[keep][nonblank]
+    extracted, spans_out, n_spans, strip_ratio = _assemble(
+        k, krow, final.to_numpy(), ks, ke, kinds, conf_cls, raw_len)
+    return extracted, spans_out, n_spans, strip_ratio, plain_wins
 
 
 def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
@@ -319,8 +432,10 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
             canon = canon.str.slice(0, cfg.max_chars)
         desk, is_blank_v, angle_v = _deskew_columns(canon)
         fast = _fast_mask(desk, cfg)
+        md_fast = _md_fast_mask(desk, cfg) & ~fast
     else:  # nonzero margins: closed form not proven — everything per-turn
         fast = np.zeros(n, dtype=bool)
+        md_fast = fast
 
     extracted = np.empty(n, dtype=object)
     spans = np.empty(n, dtype=object)
@@ -331,21 +446,37 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     angle = np.zeros(n, dtype=np.float64)
     page_skew = np.zeros(n, dtype=np.float64)
 
+    def _fill_vectorized(pos, ext, spn, nsp, ratio, fmt_name):
+        extracted[pos] = ext
+        for j, p in enumerate(pos):
+            spans[p] = spn[j]
+        n_spans[pos] = nsp
+        strip_ratio[pos] = ratio
+        fmt[pos] = fmt_name
+        is_blank[pos] = is_blank_v[pos]
+        angle[pos] = angle_v[pos]
+        # page_skew stays 0.0: same-line boxes keep row centers fixed
+
+    mpos = np.flatnonzero(md_fast)
+    if len(mpos):
+        m_ext, m_spans, m_n, m_ratio, plain_wins = _md_outputs(
+            desk.iloc[mpos].reset_index(drop=True), raw_len[mpos], cfg)
+        mwin = mpos[~plain_wins]
+        _fill_vectorized(mwin, [m_ext[j] for j in np.flatnonzero(~plain_wins)],
+                         [m_spans[j] for j in np.flatnonzero(~plain_wins)],
+                         m_n[~plain_wins], m_ratio[~plain_wins], "markdown")
+        # the E4 vote went to the plain parser on these rows: recompute them
+        # through the plain closed form (exactly what detect_spans would keep)
+        fast[mpos[plain_wins]] = True
+
     fpos = np.flatnonzero(fast)
     if len(fpos):
         f_ext, f_spans, f_n, f_ratio = _fast_outputs(
             desk.iloc[fpos].reset_index(drop=True), raw_len[fpos], cfg)
-        extracted[fpos] = f_ext
-        for j, p in enumerate(fpos):
-            spans[p] = f_spans[j]
-        n_spans[fpos] = f_n
-        strip_ratio[fpos] = f_ratio
-        fmt[fpos] = "plain"
-        is_blank[fpos] = is_blank_v[fpos]
-        angle[fpos] = angle_v[fpos]
-        # page_skew stays 0.0: no word is ever assigned to an existing row
+        _fill_vectorized(fpos, f_ext, f_spans, f_n, f_ratio, "plain")
 
     texts = raw.to_numpy()
+    fast = fast | md_fast
     if vec_ok:
         dsk = desk.to_numpy()
 

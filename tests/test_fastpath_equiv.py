@@ -87,6 +87,25 @@ ADVERSARIAL = [
     "> # quoted heading",
     "x" * 300,
     ("word " * 50).strip() + "\n" + ("tok " * 30).strip(),
+    # --- markdown closed-form cases ---
+    "# heading\nbody line\n- item one\n- item two",
+    "```\ninside fence dropped\n```\nafter fence",
+    "```python\ncode\n```",                 # fence with info string
+    "```\nunclosed fence to the end\nstill inside",
+    "- \n-  \n# ",                          # markers with empty remainders
+    "1. first\n2. second\n10. tenth",
+    "   - three-space indent marker\n    - four spaces is NOT a marker",
+    "**bold at start** then text",
+    "[label](http://target) link line\nplain line",
+    "a [l1](u1) b [l2](u2) c",
+    "mixed **bold** and [link](u) and `tick\nplain",
+    "# only-marker doc",
+    "- item\n\n\n- item after blanks",
+    "> - quoted marker exposed by deskew\n> # quoted heading too",
+    "- $12.50 dirty token item",            # dirty-token min-conf on md path
+    "- 1,234.56",                           # numeric re-kind on md span
+    "# h\n" + "w " * 40,                    # plain parser outnumbers markdown?
+    "text line\ntext line\ntext line\n- one marker",  # plain 4 vs md 4 -> tie
 ]
 
 
