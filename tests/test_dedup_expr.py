@@ -273,3 +273,24 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
     }))
     with _pytest.raises(RuntimeError, match="fixpoint"):
         duplicate_clusters(pairs, max_iterations=2).collect()
+
+
+def test_release_persisted_artifacts(spark):
+    """Build-side caches registered by the LSH/ppjoin builders are released
+    (and the registry drained) by the public cleanup handle."""
+    from pyspark import StorageLevel
+
+    from ocr_engine_spark.operators import dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "source": ["s", "s"],
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta"],
+    }))
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5, family="xxhash64")
+    pairs.count()
+    assert len(dedup._PERSISTED) >= 1
+    cached = list(dedup._PERSISTED)
+    n = dedup.release_persisted_artifacts()
+    assert n == len(cached)
+    assert dedup._PERSISTED == []
+    assert all(df.storageLevel == StorageLevel.NONE for df in cached)
