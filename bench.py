@@ -103,14 +103,14 @@ def force(df) -> int:
     return 0
 
 
-def bench_extraction(spark, n_convs: int) -> dict:
+def bench_extraction(spark, n_convs: int, seed: int = 7) -> dict:
     """Flagship metric: turns/sec over the synthetic transcript corpus."""
     import pandas as pd  # noqa: F401
 
     from ocr_engine_spark.operators.extract import extract_transcripts
     from ocr_engine_spark.sources.transcripts import generate_transcripts
 
-    pdf = generate_transcripts(n_convs=n_convs, seed=7, whale_factor=100)
+    pdf = generate_transcripts(n_convs=n_convs, seed=seed, whale_factor=100)
     n_turns = len(pdf)
     df = spark.createDataFrame(pdf)
     df = df.repartition(spark.sparkContext.defaultParallelism * 2).cache()
@@ -168,6 +168,11 @@ def main() -> None:
         gc.collect()
 
     extraction = bench_extraction(spark, BENCH_CONVS)
+    # steady-state probe: 10x the corpus so per-job fixed overhead (~0.7s of
+    # scheduler/stage setup) stops dominating the rate; `extraction` keeps the
+    # round-1/2-comparable corpus, this one shows the sustained kernel rate
+    # (protocol + per-level overhead decomposition: BENCH/BASELINE.md)
+    extraction_steady = bench_extraction(spark, BENCH_CONVS * 10)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -177,6 +182,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "extraction": extraction,
+        "extraction_steady": extraction_steady,
     }))
     spark.stop()
 
