@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_range_page": relational.q_event_range_page,
         "rollup_revenue": relational.q_rollup_revenue,
         "event_percentiles": relational.q_event_percentiles,
+        "event_sessions": relational.q_event_sessions,
+        "event_rolling": relational.q_event_rolling,
         # — text analysis —
         "token_stats": text_analysis.q_token_stats,
         "lang_id": text_analysis.q_lang_id,
@@ -64,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_count": text_analysis.q_shingle_count,
         "fingerprint": text_analysis.q_fingerprint,
         "vocab_stats": text_analysis.q_vocab_stats,
+        "tfidf": text_analysis.q_tfidf,
         # — deduplication —
         "exact_dedup": dedup.q_exact_dedup,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -71,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "simhash": dedup.q_simhash,
         "simhash_neardup": dedup.q_simhash_neardup,
+        "dedup_canonical": dedup.q_dedup_canonical,
         # — similarity search —
         "embedding_topk": similarity.q_embedding_topk,
         "embedding_topk_blas": similarity.q_embedding_topk_blas,
@@ -423,6 +427,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
         """,
+        # sessionization: gap math in exact integer microseconds
+        # (Spark unix_micros == DuckDB epoch_us), session numbering by running
+        # sum over the (ts, event_id) total order
+        "event_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS INTEGER) AS session_seq
+              FROM g)
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR)
+                        AS DOUBLE) AS sum_value,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                     AS duration_us
+            FROM s GROUP BY user_id, session_seq
+        """,
+        # trailing-1h RANGE frame over integer microseconds; DECIMAL frame sum
+        # (order-independent, peers included identically), one double division
+        "event_rolling": """
+            WITH r AS (
+              SELECT event_id, user_id,
+                     CAST(count(*) OVER w AS BIGINT) AS roll_n,
+                     CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w
+                          AS VARCHAR) AS DOUBLE) AS roll_sum
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, roll_n, roll_sum,
+                   roll_sum / CAST(roll_n AS DOUBLE) AS roll_avg
+            FROM r
+        """,
         "event_range_page": """
             SELECT event_id, ts, user_id, event_type, value FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
@@ -492,6 +539,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT dfx.tok, df, occurrences FROM dfx JOIN occ ON dfx.tok = occ.tok
             ORDER BY df DESC, dfx.tok ASC LIMIT 50
         """,
+        # tf * N / df (log-free tf-idf): all-integer operands, one double
+        # division -> bit-identical ranking without rounding
+        "tfidf": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split_regex(trim(text), ' +')) AS tok
+                        FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+            dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            wgt AS (SELECT doc_id, tf.tok AS tok, tf, df,
+                           CAST(tf * n_docs AS DOUBLE) / df AS weight
+                    FROM tf JOIN dfx ON tf.tok = dfx.tok, n)
+            SELECT doc_id, tok, tf, df, weight, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY weight DESC, tok) AS INTEGER) AS rank
+              FROM wgt) WHERE rank <= 3
+        """,
         "exact_dedup": """
             WITH h AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
             g AS (SELECT doc_id, text_md5,
@@ -525,6 +589,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.t, r.l FROM reach r JOIN e ON e.s = r.v)
             SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
             FROM reach GROUP BY v
+        """,
+        # the deduplicated corpus: drop every cluster member except the minimum
+        # doc_id, over the SAME MinHash-LSH component pipeline as dedup_clusters
+        "dedup_canonical": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            e AS (SELECT doc_id_a AS s, doc_id_b AS t FROM mh_pairs
+                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
+            reach(v, l) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.t, r.l FROM reach r JOIN e ON e.s = r.v),
+            dropped AS (
+              SELECT v AS doc_id FROM reach GROUP BY v
+              HAVING CAST(min(l) AS BIGINT) != v)
+            SELECT doc_id, md5(text) AS text_md5 FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         # md5-affine hash family (operators/dedup.py): a = int(md5[0:15], 16),
         # b = int(md5[16:30], 16), h_j = a + j*b — bit-identical in both engines,

@@ -47,6 +47,8 @@ HEADLINE = [
     "event_range_page",
     "rollup_revenue",
     "event_percentiles",
+    "event_sessions",
+    "event_rolling",
     "token_stats",
     "lang_id",
     "quality_score",
@@ -54,12 +56,14 @@ HEADLINE = [
     "shingle_count",
     "fingerprint",
     "vocab_stats",
+    "tfidf",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "dedup_clusters",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_neardup",
+    "dedup_canonical",
     "embedding_topk",
     "embedding_topk_blas",
     "kmeans_centroids",

@@ -525,3 +525,19 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return simhash_neardup_pairs(docs, max_hamming=3)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT of near-dedup: the corpus with non-canonical cluster
+    members dropped (keep each cluster's minimum doc_id — the rule a training
+    pipeline applies before tokenization).  LSH pairs -> connected components ->
+    one anti-join against the drop set; emits (doc_id, text_md5) so content
+    identity of every survivor is value-checked."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, family="md5")
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.where(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", F.md5("text").alias("text_md5"))
+    )

@@ -239,3 +239,80 @@ def q_event_range_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+def _micros_ntz(col: str = "ts"):
+    """Exact integer microseconds of a TIMESTAMP_NTZ, timezone-FREE.
+
+    unix_micros() requires TIMESTAMP (LTZ) and any NTZ->LTZ cast injects the
+    session timezone into the value; assembling micros from date/time parts is
+    tz-independent and equals DuckDB's epoch_us(naive ts) bit-for-bit
+    (verified on the events table).  extract(second) carries the fractional
+    microseconds as DECIMAL, so the final term is exact too."""
+    return (
+        F.unix_date(F.to_date(col)).cast("long") * F.lit(86_400_000_000)
+        + F.expr(f"extract(hour from {col})").cast("long") * F.lit(3_600_000_000)
+        + F.expr(f"extract(minute from {col})").cast("long") * F.lit(60_000_000)
+        + F.expr(f"cast(extract(second from {col}) * 1000000 as bigint)")
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-minute gap in a user's
+    event stream (the classic batch analogue of streaming session windows).
+
+    One window pass marks session starts (lag over a total order), a running
+    sum numbers them, one aggregation summarizes each session — two shuffles on
+    user_id total, both map-side-combinable at the second stage.  Gap math uses
+    integer microseconds (unix_micros <-> DuckDB epoch_us), so the cross-engine
+    value path is exact; double sums go through DECIMAL as usual.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _micros_ntz("ts")
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+    numbered = marked.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            _dsum("value", "sum_value"),
+        )
+        .withColumn(
+            "duration_us",
+            (_micros_ntz("session_end") - _micros_ntz("session_start"))
+            .cast("bigint"))
+    )
+
+
+def q_event_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE moving aggregate: per event, the trailing-1-hour sum/count/avg
+    of the user's values — RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW over
+    integer microseconds.  The frame sum accumulates DECIMAL (order-independent,
+    peer rows included identically in both engines), the average is one double
+    division of deterministic operands — no rounding needed anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(_micros_ntz("ts"))
+         .rangeBetween(-3600 * 1_000_000, 0))
+    rolled = ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w)
+        .cast("double").alias("roll_sum"),
+    )
+    return rolled.withColumn(
+        "roll_avg", F.col("roll_sum") / F.col("roll_n").cast("double"))

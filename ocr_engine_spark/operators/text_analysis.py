@@ -168,3 +168,35 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("tok", "df", "occurrences")
     )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive tokens by tf x inverse-document-frequency.
+
+    The weight is the LOG-FREE variant tf * N / df: every operand is an exact
+    integer, so the single double division is bit-identical across engines
+    (ln() would risk last-ULP libm differences at the rounding boundary).
+    Plan shape: one explode -> two map-side-combinable aggregations (term
+    frequency, then document frequency over the tf table — the vocabulary-sized
+    shuffle, not the corpus-sized one) -> broadcast-joined scalar N -> windowed
+    top-3 per doc with a total tie-break order."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = (
+        tf.join(dfx, "tok").crossJoin(F.broadcast(total))
+        .withColumn(
+            "weight",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("tok"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "df", "weight", "rank")
+    )

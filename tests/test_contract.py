@@ -43,6 +43,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "quality_score", "shingle_count", "fingerprint", "exact_dedup",
     "ngram_jaccard_pairs", "embedding_topk", "ivf_assign", "ivf_topk",
     "embedding_neardup", "binary_features", "manifest_extract", "explode_parts",
+    "html_extract", "markdown_extract", "kmeans_centroids", "media_decode",
+    "event_sessions", "event_rolling", "tfidf", "dedup_canonical",
 ])
 def test_query_matches_oracle(spark, entrymod, duck, name):
     from tools.check_contract import compare
