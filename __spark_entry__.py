@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": text_analysis.q_fingerprint,
         "vocab_stats": text_analysis.q_vocab_stats,
         "tfidf": text_analysis.q_tfidf,
+        "pii_redact": text_analysis.q_pii_redact,
+        "contamination_check": text_analysis.q_contamination_check,
+        "stratified_sample": text_analysis.q_stratified_sample,
+        "repetition_stats": text_analysis.q_repetition_stats,
+        "token_budget": text_analysis.q_token_budget,
         # — deduplication —
         "exact_dedup": dedup.q_exact_dedup,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -589,6 +594,88 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.t, r.l FROM reach r JOIN e ON e.s = r.v)
             SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
             FROM reach GROUP BY v
+        """,
+        # planted-PII scrub: counts via regexp_extract_all length, global
+        # replace ('g' — DuckDB defaults to first-match-only); the regex subset
+        # (char classes, bounded reps, \b) behaves identically in Java and RE2
+        "pii_redact": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 555-01'
+                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS payload
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(payload,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(payload, '\b555-[0-9]{4}\b'))
+                     AS INTEGER) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(payload,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+            FROM p
+        """,
+        # 5-token-shingle overlap vs the held-out benchmark slice (doc_id%50=7):
+        # hits counted over DISTINCT doc shingles; truncated tail shingles via
+        # NULL-skipping concat_ws, same as the Spark zip_with spelling
+        "contamination_check": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([concat_ws(' ', tk[CAST(i AS INTEGER)],
+                        tk[CAST(i+1 AS INTEGER)], tk[CAST(i+2 AS INTEGER)],
+                        tk[CAST(i+3 AS INTEGER)], tk[CAST(i+4 AS INTEGER)])
+                       for i in generate_series(1, greatest(len(tk) - 4, 1))])
+                       AS shingles
+              FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 50 = 7)
+            SELECT doc_id, count(*) AS n_hits
+            FROM ex JOIN bench USING (shingle)
+            WHERE doc_id % 50 != 7 GROUP BY doc_id
+        """,
+        # md5-hash deterministic per-source sampling (reproducible data mixing)
+        "stratified_sample": """
+            SELECT doc_id, source, bucket, rate FROM (
+              SELECT doc_id, source,
+                     CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 AS INTEGER) AS bucket,
+                     CAST((length(source) * 7 + ascii(substr(source, -1, 1)))
+                          % 41 + 10 AS INTEGER) AS rate
+              FROM documents)
+            WHERE bucket < rate
+        """,
+        "repetition_stats": """
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split_regex(trim(text), ' +')) AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY c DESC, tok) AS rn FROM c)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   max(CASE WHEN rn = 1 THEN tok END) AS top_tok,
+                   CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_count,
+                   CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE)
+                     / CAST(sum(c) AS BIGINT) AS top_frac,
+                   CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+                     AS distinct_frac
+            FROM r GROUP BY doc_id
+        """,
+        "token_budget": """
+            WITH n AS (SELECT doc_id, source,
+                              CAST(len(string_split_regex(trim(text), ' +'))
+                                AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_tokens FROM n)
+            SELECT doc_id, source, n_tokens, cum_tokens FROM c
+            WHERE cum_tokens <= 600
         """,
         # the deduplicated corpus: drop every cluster member except the minimum
         # doc_id, over the SAME MinHash-LSH component pipeline as dedup_clusters

@@ -57,6 +57,11 @@ HEADLINE = [
     "fingerprint",
     "vocab_stats",
     "tfidf",
+    "pii_redact",
+    "contamination_check",
+    "stratified_sample",
+    "repetition_stats",
+    "token_budget",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "dedup_clusters",

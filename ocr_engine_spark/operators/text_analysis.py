@@ -200,3 +200,116 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "tok", "tf", "df", "weight", "rank")
     )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training pipeline runs before
+    tokenization.  PII is planted deterministically (the raw corpus has none):
+    each doc gets a synthetic email + phone appended, then emails and
+    phone-like numbers are detected (regexp_count) and replaced with typed
+    placeholders.  Patterns stick to the regex subset with identical semantics
+    in Java regex and RE2/DuckDB (char classes, bounded reps, \\b)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    payload = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b555-[0-9]{4}\b"
+    with_pii = docs.select("doc_id", payload.alias("payload"))
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count("payload", F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count("payload", F.lit(phone)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("payload", email, "<EMAIL>"),
+            phone, "<PHONE>").alias("redacted"),
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing any 5-token
+    shingle with a held-out "benchmark" set (doc_id % 50 == 7) are flagged with
+    their hit counts — the decontamination pass every serious training corpus
+    runs.  The benchmark side is tiny and broadcasts; the corpus side explodes
+    shingles once and aggregates map-side, so the shuffle carries per-doc hit
+    counts, never the shingle stream."""
+    from ocr_engine_spark.operators.dedup import _shingle_array
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = docs.withColumn("sh", _shingle_array(k=5)).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    bench = (shingled.where(F.col("doc_id") % 50 == 7)
+             .select(F.col("shingle")).distinct())
+    corpus = shingled.where(F.col("doc_id") % 50 != 7)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling (domain mixing): keep a doc iff
+    md5(doc_id) mod 100 < the source's configured rate.  Hash-based so the
+    sample is reproducible across engines, partitionings, and runs — the
+    data-mixing primitive (no RNG, no sort)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = (F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+        % 100)
+    # rate derived from the source name: stable, engine-agnostic
+    rate = (F.length("source") * 7 + F.ascii(F.substring("source", -1, 1))) % 41 + 10
+    return (
+        docs.withColumn("bucket", bucket.cast("int"))
+        .withColumn("rate", rate.cast("int"))
+        .where(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "source", "bucket", "rate")
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style repetition filter
+    inputs): most-frequent-token share and distinct-token fraction.  One
+    explode + per-(doc, token) count + per-doc max_by with a total tie-break
+    (count desc, token asc); ratios are divisions of exact integers."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("tok"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max(F.when(F.col("rn") == 1, F.col("tok"))).alias("top_tok"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_count"),
+        )
+        .withColumn("top_frac",
+                    F.col("top_count").cast("double") / F.col("n_tokens"))
+        .withColumn("distinct_frac",
+                    F.col("n_distinct").cast("double") / F.col("n_tokens"))
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: per source, take documents in (token count desc,
+    doc_id) order while the running total stays within a 600-token budget —
+    the per-domain cap step of corpus mixing.  One window cumsum per source
+    partition; everything integer-exact."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    with_n = docs.withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), " +")).cast("bigint"))
+    w = (Window.partitionBy("source").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        with_n.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 600)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
