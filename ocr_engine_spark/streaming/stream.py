@@ -123,3 +123,16 @@ def metrics_window_stream(stream: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     )
 
 
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop payload duplicates that arrive within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` keyed on the text
+    digest).  State is bounded by the watermark — expired digests are evicted,
+    so a 10^12-turn stream never accumulates unbounded dedup state; the batch
+    twin is operators/dedup.q_exact_dedup."""
+    return (
+        stream.withColumn("text_md5", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )

@@ -197,3 +197,32 @@ def test_stream_job_drain_and_resume(spark, tmp_path):
     gotc = got2.select("conv_id", "turn_idx", "extracted_text").orderBy(
         "conv_id", "turn_idx")
     assert [tuple(r) for r in gotc.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicates planted across micro-batch boundaries
+    collapse to one row per distinct payload (watermark-bounded state)."""
+    from ocr_engine_spark.streaming.stream import TRANSCRIPTS_DDL, dedup_stream
+
+    import pandas as pd
+
+    base = generate_transcripts(6, seed=33)
+    dup = base.head(20).copy()
+    dup["conv_id"] = dup["conv_id"] + "-dup"  # same text, different key
+    src = str(tmp_path / "dsrc")
+    spark.createDataFrame(base, schema=TRANSCRIPTS_DDL).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(pd.DataFrame(dup), schema=TRANSCRIPTS_DDL).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream, watermark="365 days")
+        .writeStream.format("memory").queryName("dedup_stream_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream_t")
+    want_distinct = spark.read.parquet(src).select("text").distinct().count()
+    assert got.count() == want_distinct
+    assert got.select("text_md5").distinct().count() == got.count()
