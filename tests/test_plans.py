@@ -143,3 +143,39 @@ def test_extraction_scan_prunes_to_three_columns(spark, tmp_path):
     read = [l for l in p.splitlines() if "ReadSchema" in l]
     # 6-column table, kernel needs 3: role/tool/ts must be pruned at the scan
     assert read and all(c not in read[0] for c in ("role", "tool", "ts>"))
+
+
+def test_new_pipeline_queries_stay_jvm_side(q):
+    """Round-3 operators (sessionization, rolling frames, tf-idf, sampling,
+    budgeting, PII, contamination) are pure built-in expressions — no Python
+    eval node may appear."""
+    for name in ("event_sessions", "event_rolling", "tfidf", "pii_redact",
+                 "contamination_check", "stratified_sample",
+                 "repetition_stats", "token_budget", "dedup_canonical"):
+        p = plan(q[name])
+        assert "EvalPython" not in p and "MapInPandas" not in p, name
+
+
+def test_map_only_queries_have_zero_exchanges(q):
+    """Sampling and PII redaction are per-row maps: any shuffle is a planning
+    regression."""
+    for name in ("stratified_sample", "pii_redact"):
+        assert "Exchange" not in plan(q[name]), name
+
+
+def test_window_queries_shuffle_once(q):
+    """Sessionization / rolling / budgeting need exactly the one partition-key
+    exchange their window demands (the downstream per-session aggregation must
+    REUSE the user_id partitioning, not reshuffle).  Formatted explain mentions
+    each node twice (tree + detail), so count the detail headers."""
+    import re
+
+    for name in ("event_sessions", "event_rolling", "token_budget"):
+        p = plan(q[name])
+        n = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n == 1, (name, n)
+
+
+def test_contamination_bench_side_broadcasts(q):
+    p = plan(q["contamination_check"])
+    assert "BroadcastHashJoin" in p  # tiny benchmark side never shuffles the corpus
