@@ -149,3 +149,30 @@ def test_overwrite_partitions_leaves_session_conf_alone(spark, tmp_path):
     overwrite_partitions(df2, target, "p")
     rows = sorted((r["p"], r["v"]) for r in spark.read.parquet(target).collect())
     assert rows == [(0, 1), (1, 9)]
+
+
+def test_bucketed_tables_join_with_zero_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key/count must sort-merge join with NO
+    Exchange node — the co-located layout the 100 TB design relies on."""
+    import pandas as pd
+
+    from ocr_engine_spark.sources.io import write_bucketed
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(200), "payload": [f"p{i}" for i in range(200)]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(0, 200, 2), "meta": [f"m{i}" for i in range(0, 200, 2)]}))
+    write_bucketed(left, "bkt_left", "doc_id", 8)
+    write_bucketed(right, "bkt_right", "doc_id", 8)
+    try:
+        # hint forces sort-merge (the tiny test tables would auto-broadcast,
+        # which hides the layout; at real scale neither side broadcasts)
+        joined = spark.table("bkt_left").hint("merge").join(
+            spark.table("bkt_right").hint("merge"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
