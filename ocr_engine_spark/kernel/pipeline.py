@@ -257,10 +257,15 @@ def _token_min_conf(collapsed: pd.Series, nbad: np.ndarray) -> np.ndarray:
     return conf_cls
 
 
-def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len):
-    """Per-row span lists / extracted text in line order -> output arrays."""
+def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len, kline=None):
+    """Per-row span lists / extracted text in reading order -> output arrays.
+
+    ``kline`` carries each span's line id: consecutive spans of one row on the
+    SAME line join with ' ' (the stitch's within-line word merge), lines join
+    with newlines.  Omitted => every span is its own line (plain/markdown)."""
     spans_out = [[] for _ in range(k)]
     text_parts = [[] for _ in range(k)]
+    prev_row = prev_line = None
     for i in range(len(krow)):
         r = krow[i]
         t = ctext[i]
@@ -268,7 +273,12 @@ def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len):
             "start": int(ks[i]), "end": int(ke[i]), "kind": kinds[i],
             "conf": float(confs[i]), "text": t,
         })
-        text_parts[r].append(t)
+        if kline is not None and r == prev_row and kline[i] == prev_line:
+            text_parts[r][-1] += " " + t
+        else:
+            text_parts[r].append(t)
+        if kline is not None:
+            prev_row, prev_line = r, kline[i]
     extracted = ["\n".join(p) for p in text_parts]
     n_spans = np.array([len(s) for s in spans_out], dtype=np.int64)
     elen = np.array([len(t) for t in extracted], dtype=np.float64)
@@ -405,6 +415,166 @@ def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     return extracted, spans_out, n_spans, strip_ratio, plain_wins
 
 
+# entity references the closed-form decode handles exactly: with every '&'
+# starting one of these, ordered literal replaces (amp LAST so its output '&'
+# can never re-trigger a decode) equal html.unescape's single pass
+_SAFE_ENTITIES = ("&lt;", "&gt;", "&quot;", "&apos;", "&#39;", "&#x27;", "&amp;")
+_UNSAFE_AMP = re.compile(r"&(?!(?:amp|lt|gt|quot|apos|#39|#x27);)")
+_TAGLIKE_GATE = re.compile(r"<[A-Za-z!/][^>]*>")  # = detect._TAGLIKE / _HTML_TAG
+
+from ocr_engine_spark.kernel.detect import (  # noqa: E402
+    _HTML_A_ZONE, _HTML_DROP, _NEWLINE_RE,
+)
+
+
+def _html_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
+    """True where the HTML closed form MAY apply (the E4 vote inside
+    _html_outputs still routes markdown/plain-win rows back to the slow path).
+
+    Requires score_thr > 0.2 so the tag-noise penalty (x0.2, conf <= 1) makes
+    tagged lines provably fail the plain/markdown parsers — that is what turns
+    their vote counts into closed forms."""
+    if cfg.score_thr <= 0.2:
+        return np.zeros(len(desk), dtype=bool)
+    ok = (
+        desk.str.contains(_HTML_TAG, regex=True)
+        & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
+        & ~desk.str.contains(_CTRL, regex=True)
+        & ~desk.str.contains(_UNSAFE_AMP, regex=True)  # decode stays exact
+        & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
+    )
+    if cfg.placeholder_char:
+        ok &= ~desk.str.contains(cfg.placeholder_char, regex=False)
+    return ok.to_numpy()
+
+
+def _html_runs(text: str):
+    """One row's unblocked text runs: (trim_start, trim_end, linky, line_no).
+
+    Exactly detect.parse_html's zone model — boilerplate subtrees, tags, and
+    comments block; newlines block (runs never cross lines); <a> zones flag the
+    link penalty.  All scanning is C-level regex/numpy; only the per-run
+    bookkeeping is Python."""
+    n = len(text)
+    blocked = np.zeros(n + 2, dtype=bool)
+    blocked[0] = blocked[-1] = True
+    b = blocked[1:-1]
+    for m in _HTML_DROP.finditer(text):
+        b[m.start():m.end()] = True
+    for m in _HTML_TAG.finditer(text):
+        b[m.start():m.end()] = True
+    linky = np.zeros(n, dtype=bool)
+    for m in _HTML_A_ZONE.finditer(text):
+        linky[m.start():m.end()] = True
+    nl = np.zeros(n + 1, dtype=np.int64)
+    for m in _NEWLINE_RE.finditer(text):
+        b[m.start()] = True
+        nl[m.start() + 1] = 1
+    lineno = np.cumsum(nl)
+    d = np.diff(blocked.astype(np.int8))
+    starts = np.flatnonzero(d == -1)
+    ends = np.flatnonzero(d == 1)
+    out = []
+    for i, j in zip(starts.tolist(), ends.tolist()):
+        seg = text[i:j]
+        ls = seg.lstrip()
+        if not ls:
+            continue
+        s = i + len(seg) - len(ls)
+        e = i + len(seg.rstrip())
+        out.append((s, e, bool(linky[s:e].any()), int(lineno[s])))
+    return out
+
+
+def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
+    """Closed-form HTML outputs + the exact E4 vote.
+
+    Returns (extracted, spans, n_spans, strip_ratio, html_wins): rows where the
+    markdown or plain parser finds strictly more passing spans carry
+    html_wins=False and must run the per-turn oracle instead.
+    """
+    k = len(desk)
+    texts = desk.to_numpy()
+    rrow, rs, re_, rlink, rline = [], [], [], [], []
+    for ridx in range(k):
+        for s, e, lk, ln in _html_runs(texts[ridx]):
+            rrow.append(ridx)
+            rs.append(s)
+            re_.append(e)
+            rlink.append(lk)
+            rline.append(ln)
+    rrow = np.asarray(rrow, dtype=np.int64)
+    rs = np.asarray(rs, dtype=np.int64)
+    re_ = np.asarray(re_, dtype=np.int64)
+    rlink = np.asarray(rlink, dtype=bool)
+    rline = np.asarray(rline, dtype=np.int64)
+    seg = pd.Series([texts[r][s:e] for r, s, e in zip(rrow, rs, re_)],
+                    dtype=object)
+
+    slen = (re_ - rs).astype(np.float64)
+    nbad = seg.str.count(_NON_TEXTY).to_numpy() if len(seg) else np.array([])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf = np.where(slen > 0, (slen - nbad) / np.maximum(slen, 1), 0.0)
+    conf = np.where(rlink, conf * 0.5, conf)
+    keep = conf >= cfg.score_thr
+    ch = np.zeros(k, dtype=np.int64)
+    if len(rrow):
+        np.add.at(ch, rrow[keep], 1)
+
+    # --- competing parsers' counts (tagged lines provably fail: x0.2 < thr) ---
+    lines, lrow, _ = _line_frame(desk)
+    seg_p = lines.str.strip()
+    slen_p = seg_p.str.len().to_numpy()
+    tagged = lines.str.contains(_TAGLIKE_GATE, regex=True).to_numpy()
+    nbad_p = seg_p.str.count(_NON_TEXTY).to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf_p = np.where(slen_p > 0,
+                          (slen_p - nbad_p) / np.maximum(slen_p, 1), 0.0)
+    cp = np.zeros(k, dtype=np.int64)
+    pmask = (slen_p > 0) & ~tagged & (conf_p >= cfg.score_thr)
+    np.add.at(cp, lrow[pmask], 1)
+
+    md_app = desk.str.contains(_MD_GATE, regex=True).to_numpy()
+    cm = np.zeros(k, dtype=np.int64)
+    if md_app.any():
+        fence = lines.str.match(_MD_FENCE_LINE).to_numpy()
+        fcum = pd.Series(fence.astype(np.int64)).groupby(lrow).cumsum().to_numpy()
+        in_fence = ((fcum - fence) % 2) == 1
+        rem = lines.str.replace(_MD_LEAD_STRIP, "", regex=True)
+        seg_m = rem.str.strip()
+        mlen = seg_m.str.len().to_numpy()
+        tagged_m = seg_m.str.contains(_TAGLIKE_GATE, regex=True).to_numpy()
+        nbad_m = seg_m.str.count(_NON_TEXTY).to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            conf_m = np.where(mlen > 0,
+                              (mlen - nbad_m) / np.maximum(mlen, 1), 0.0)
+        mmask = (~fence) & (~in_fence) & (slen_p > 0) & (mlen > 0) \
+            & ~tagged_m & (conf_m >= cfg.score_thr)
+        np.add.at(cm, lrow[mmask], 1)
+
+    html_wins = ~(md_app & (cm > ch)) & ~(cp > ch)
+
+    fkeep = keep & html_wins[rrow] if len(rrow) else keep
+    kseg = seg[fkeep].reset_index(drop=True)
+    # recognition: entity decode (ordered literal replaces == unescape's single
+    # pass under the safe-& predicate), whitespace collapse, token-min conf
+    final = kseg
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&#39;", "'"), ("&#x27;", "'"),
+                     ("&amp;", "&")):
+        final = final.str.replace(ent, rep, regex=False)
+    final = final.str.replace(_WS_RUN, " ", regex=True).str.strip()
+    fbad = final.str.count(_NON_TEXTY).to_numpy() if len(final) else np.array([])
+    conf_cls = _token_min_conf(final, fbad)
+    is_num = (final.str.match(_NUMERIC).to_numpy()
+              if len(final) else np.array([], dtype=bool))
+    kinds = np.where(is_num, "num", "html")
+    extracted, spans_out, n_spans, strip_ratio = _assemble(
+        k, rrow[fkeep], final.to_numpy(), rs[fkeep], re_[fkeep], kinds,
+        conf_cls, raw_len, kline=rline[fkeep])
+    return extracted, spans_out, n_spans, strip_ratio, html_wins
+
+
 def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Batch kernel: one pandas frame of turns in, one frame of extractions out.
 
@@ -433,9 +603,11 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         desk, is_blank_v, angle_v = _deskew_columns(canon)
         fast = _fast_mask(desk, cfg)
         md_fast = _md_fast_mask(desk, cfg) & ~fast
+        html_fast = _html_fast_mask(desk, cfg) & ~fast & ~md_fast
     else:  # nonzero margins: closed form not proven — everything per-turn
         fast = np.zeros(n, dtype=bool)
         md_fast = fast
+        html_fast = fast
 
     extracted = np.empty(n, dtype=object)
     spans = np.empty(n, dtype=object)
@@ -457,6 +629,16 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         angle[pos] = angle_v[pos]
         # page_skew stays 0.0: same-line boxes keep row centers fixed
 
+    hpos = np.flatnonzero(html_fast)
+    if len(hpos):
+        h_ext, h_spans, h_n, h_ratio, html_wins = _html_outputs(
+            desk.iloc[hpos].reset_index(drop=True), raw_len[hpos], cfg)
+        hwin = hpos[html_wins]
+        _fill_vectorized(hwin, [h_ext[j] for j in np.flatnonzero(html_wins)],
+                         [h_spans[j] for j in np.flatnonzero(html_wins)],
+                         h_n[html_wins], h_ratio[html_wins], "html")
+        html_fast[hpos[~html_wins]] = False  # vote lost: per-turn oracle path
+
     mpos = np.flatnonzero(md_fast)
     if len(mpos):
         m_ext, m_spans, m_n, m_ratio, plain_wins = _md_outputs(
@@ -476,7 +658,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         _fill_vectorized(fpos, f_ext, f_spans, f_n, f_ratio, "plain")
 
     texts = raw.to_numpy()
-    fast = fast | md_fast
+    fast = fast | md_fast | html_fast
     if vec_ok:
         dsk = desk.to_numpy()
 

@@ -106,6 +106,29 @@ ADVERSARIAL = [
     "- 1,234.56",                           # numeric re-kind on md span
     "# h\n" + "w " * 40,                    # plain parser outnumbers markdown?
     "text line\ntext line\ntext line\n- one marker",  # plain 4 vs md 4 -> tie
+    # --- html closed-form cases ---
+    "<p>simple paragraph</p>",
+    "<div>one</div>\n<div>two</div>\n<div>three</div>",
+    "<script>var x = 'dropped';</script>kept text<style>.c{}</style>",
+    "<nav>menu</nav><header>head</header>real content<footer>foot</footer>",
+    "<!-- comment dropped -->visible<b>bold</b>",
+    "before <a href='u'>link text</a> after",       # link penalty zone
+    "<a href='u'>only a link line</a>",
+    "tag <span\nclass='x'>spans lines</span> here",  # multi-line tag blocks \n
+    "<p>multi</p>\nplain line between\n<p>tags</p>",
+    "<p>ent &amp; ities &#x27;quoted&#x27;</p>",
+    "<p>safe &lt;escaped&gt; &quot;tags&quot;</p>",
+    "<p>unsafe &copy; entity</p>",                  # routes to the oracle path
+    "<p>bare & ampersand</p>",                      # also unsafe -> oracle
+    "<p># not markdown inside html</p>",
+    "- md marker\n<p>plus html tag</p>",            # vote: html vs markdown
+    "<b>x</b>\nplain one\nplain two\nplain three",  # plain may outnumber html
+    "<p>gap</p>    <p>same line groups</p>",        # within-line ' ' stitch
+    "<p>a</p>" + " " * 30 + "<p>far apart</p>",     # x-gap > max_x_dist
+    "<p>12,345.67</p>",                             # numeric re-kind on html
+    "<p>  \t  </p>",                                # whitespace-only run
+    "<p></p><i></i>",                               # no runs at all
+    "<p>" + "tok " * 60 + "</p>",
 ]
 
 
