@@ -214,8 +214,6 @@ def _fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
         # line can hit the E10 token-truncation path
         & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
     )
-    if cfg.placeholder_char:
-        ok &= ~desk.str.contains(cfg.placeholder_char, regex=False)
     return ok.to_numpy()
 
 
@@ -289,6 +287,16 @@ def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len, kline=None):
     return extracted, spans_out, n_spans, strip_ratio
 
 
+def _recognize_series(seg: pd.Series, cfg: EngineConfig) -> pd.Series:
+    """Vectorized recognition tail shared by every closed form: the E11
+    placeholder->space remap (literal replace == str.replace in the scalar
+    kernel), whitespace collapse, trim.  Controls are excluded by the masks;
+    format-specific decodes run before this."""
+    if cfg.placeholder_char:
+        seg = seg.str.replace(cfg.placeholder_char, " ", regex=False)
+    return seg.str.replace(_WS_RUN, " ", regex=True).str.strip()
+
+
 def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     """Closed-form PLAIN outputs for fast rows (positional index 0..k-1).
 
@@ -310,13 +318,18 @@ def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
 
     kseg = seg[keep].reset_index(drop=True)
     krow = row[keep]
-    # recognition: whitespace collapse (interior runs only; ends are trimmed)
-    collapsed = kseg.str.replace(_WS_RUN, " ", regex=True)
-    conf_cls = _token_min_conf(collapsed, nbad[keep])
-    is_num = collapsed.str.match(_NUMERIC).to_numpy()
+    final = _recognize_series(kseg, cfg)
+    nonblank = (final.str.len().to_numpy() > 0 if len(final)
+                else np.array([], dtype=bool))  # F7: placeholder-only lines
+    final = final[nonblank].reset_index(drop=True)
+    krow = krow[nonblank]
+    fbad = final.str.count(_NON_TEXTY).to_numpy() if len(final) else np.array([])
+    conf_cls = _token_min_conf(final, fbad)
+    is_num = (final.str.match(_NUMERIC).to_numpy()
+              if len(final) else np.array([], dtype=bool))
     kinds = np.where(is_num, "num", "text")
-    return _assemble(k, krow, collapsed.to_numpy(), abs_s[keep], abs_e[keep],
-                     kinds, conf_cls, raw_len)
+    return _assemble(k, krow, final.to_numpy(), abs_s[keep][nonblank],
+                     abs_e[keep][nonblank], kinds, conf_cls, raw_len)
 
 
 _MD_FENCE_LINE = re.compile(r"\s{0,3}```")
@@ -337,8 +350,6 @@ def _md_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
         & ~desk.str.contains(_CTRL, regex=True)
         & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
     )
-    if cfg.placeholder_char:
-        ok &= ~desk.str.contains(cfg.placeholder_char, regex=False)
     return ok.to_numpy()
 
 
@@ -397,9 +408,9 @@ def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     krow = row[keep]
     # recognition (normalize.recognize_one, kind='markdown'): inline link ->
     # label, emphasis markers dropped, whitespace collapsed, trimmed
-    final = (kseg.str.replace(_MD_LINK, r"\1", regex=True)
-             .str.replace(_MD_EMPH, "", regex=True)
-             .str.replace(_WS_RUN, " ", regex=True).str.strip())
+    final = _recognize_series(
+        kseg.str.replace(_MD_LINK, r"\1", regex=True)
+        .str.replace(_MD_EMPH, "", regex=True), cfg)
     flen = final.str.len().to_numpy()
     nonblank = flen > 0  # F7: blank-after-recognition dropped
     final = final[nonblank].reset_index(drop=True)
@@ -443,8 +454,6 @@ def _html_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
         & ~desk.str.contains(_UNSAFE_AMP, regex=True)  # decode stays exact
         & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
     )
-    if cfg.placeholder_char:
-        ok &= ~desk.str.contains(cfg.placeholder_char, regex=False)
     return ok.to_numpy()
 
 
@@ -563,16 +572,151 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
                      ("&apos;", "'"), ("&#39;", "'"), ("&#x27;", "'"),
                      ("&amp;", "&")):
         final = final.str.replace(ent, rep, regex=False)
-    final = final.str.replace(_WS_RUN, " ", regex=True).str.strip()
+    final = _recognize_series(final, cfg)
+    nonblank = (final.str.len().to_numpy() > 0 if len(final)
+                else np.array([], dtype=bool))  # F7: placeholder-only runs
+    final = final[nonblank].reset_index(drop=True)
+    fkeep2 = np.flatnonzero(fkeep)[nonblank] if len(rrow) else np.array([], int)
     fbad = final.str.count(_NON_TEXTY).to_numpy() if len(final) else np.array([])
     conf_cls = _token_min_conf(final, fbad)
     is_num = (final.str.match(_NUMERIC).to_numpy()
               if len(final) else np.array([], dtype=bool))
     kinds = np.where(is_num, "num", "html")
     extracted, spans_out, n_spans, strip_ratio = _assemble(
-        k, rrow[fkeep], final.to_numpy(), rs[fkeep], re_[fkeep], kinds,
-        conf_cls, raw_len, kline=rline[fkeep])
+        k, rrow[fkeep2], final.to_numpy(), rs[fkeep2], re_[fkeep2], kinds,
+        conf_cls, raw_len, kline=rline[fkeep2])
     return extracted, spans_out, n_spans, strip_ratio, html_wins
+
+
+from ocr_engine_spark.kernel.detect import (  # noqa: E402
+    _JSON_NUMBER, _JSON_STRING,
+)
+
+
+def _json_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
+    """True where the JSON closed form MAY apply: payload starts like JSON, no
+    HTML tag and no markdown marker (so only the plain parser competes in the
+    vote), no escape sequences (string literals decode to themselves), no
+    controls/placeholder.  Rows failing json.loads or losing the vote to the
+    plain parser reduce EXACTLY to the plain closed form — no oracle fallback.
+    """
+    ok = (
+        desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
+        & ~desk.str.contains(_HTML_TAG, regex=True)
+        & ~desk.str.contains(_MD_GATE, regex=True)
+        & ~desk.str.contains("\\", regex=False)
+        & ~desk.str.contains(_CTRL, regex=True)
+        & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
+    )
+    return ok.to_numpy()
+
+
+def _json_spans(text: str):
+    """One row's JSON content spans ((start, end, is_num, line_no)) or None when
+    the payload fails validation — detect.parse_json's exact model: value
+    string literals (keys skipped via the ':' lookahead) plus numeric literals
+    outside strings, position-sorted."""
+    import json as _json
+
+    stripped = text.strip()
+    if not stripped or stripped[0] not in "{[":
+        return None
+    try:
+        _json.loads(stripped)
+    except (ValueError, RecursionError):
+        return None
+    n = len(text)
+    in_string = np.zeros(n, dtype=bool)
+    nl = np.zeros(n + 1, dtype=np.int64)
+    for m in _NEWLINE_RE.finditer(text):
+        nl[m.start() + 1] = 1
+    lineno = np.cumsum(nl)
+    spans = []
+    for m in _JSON_STRING.finditer(text):
+        in_string[m.start():m.end()] = True
+        tail = text[m.end():m.end() + 8].lstrip()
+        if tail.startswith(":"):
+            continue  # key, not content
+        if m.start(1) < m.end(1):
+            spans.append((m.start(1), m.end(1), False, int(lineno[m.start(1)])))
+    for m in _JSON_NUMBER.finditer(text):
+        if not in_string[m.start()]:
+            spans.append((m.start(), m.end(), True, int(lineno[m.start()])))
+    spans.sort(key=lambda s: (s[0], s[1]))
+    return spans
+
+
+def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
+    """Closed-form JSON outputs + the exact (json vs plain) E4 vote.
+
+    Returns (extracted, spans, n_spans, strip_ratio, json_wins): rows that fail
+    validation or whose plain parse finds strictly more passing spans carry
+    json_wins=False — the caller routes them through the PLAIN closed form
+    (exact, because the predicate excluded every other parser's triggers)."""
+    k = len(desk)
+    texts = desk.to_numpy()
+    rrow, rs, re_, rnum, rline = [], [], [], [], []
+    valid = np.zeros(k, dtype=bool)
+    for ridx in range(k):
+        sp = _json_spans(texts[ridx])
+        if sp is None:
+            continue
+        valid[ridx] = True
+        for s, e, isnum, ln in sp:
+            rrow.append(ridx)
+            rs.append(s)
+            re_.append(e)
+            rnum.append(isnum)
+            rline.append(ln)
+    rrow = np.asarray(rrow, dtype=np.int64)
+    rs = np.asarray(rs, dtype=np.int64)
+    re_ = np.asarray(re_, dtype=np.int64)
+    rnum = np.asarray(rnum, dtype=bool)
+    rline = np.asarray(rline, dtype=np.int64)
+    seg = pd.Series([texts[r][s:e] for r, s, e in zip(rrow, rs, re_)],
+                    dtype=object)
+
+    slen = (re_ - rs).astype(np.float64)
+    nbad = seg.str.count(_NON_TEXTY).to_numpy() if len(seg) else np.array([])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf = np.where(slen > 0, (slen - nbad) / np.maximum(slen, 1), 0.0)
+    conf = np.where(rnum, 0.95, conf)  # detect.parse_json's number confidence
+    keep = conf >= cfg.score_thr
+    cj = np.zeros(k, dtype=np.int64)
+    if len(rrow):
+        np.add.at(cj, rrow[keep], 1)
+
+    # plain parser's competing count (no tags by predicate -> no penalty)
+    lines, lrow, _ = _line_frame(desk)
+    seg_p = lines.str.strip()
+    slen_p = seg_p.str.len().to_numpy()
+    nbad_p = seg_p.str.count(_NON_TEXTY).to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf_p = np.where(slen_p > 0,
+                          (slen_p - nbad_p) / np.maximum(slen_p, 1), 0.0)
+    cp = np.zeros(k, dtype=np.int64)
+    np.add.at(cp, lrow[(slen_p > 0) & (conf_p >= cfg.score_thr)], 1)
+
+    json_wins = valid & ~(cp > cj)  # ties keep json (earlier in PARSERS)
+
+    fkeep = keep & json_wins[rrow] if len(rrow) else keep
+    kseg = seg[fkeep].reset_index(drop=True)
+    # recognition: escape-free literals decode to themselves; collapse + strip;
+    # whitespace-only values drop (F7)
+    final = _recognize_series(kseg, cfg)
+    nonblank = final.str.len().to_numpy() > 0 if len(final) \
+        else np.array([], dtype=bool)
+    final = final[nonblank].reset_index(drop=True)
+    sub = np.flatnonzero(fkeep)[nonblank] if len(rrow) else np.array([], int)
+    fbad = final.str.count(_NON_TEXTY).to_numpy() if len(final) else np.array([])
+    conf_cls = _token_min_conf(final, fbad)
+    is_num_text = (final.str.match(_NUMERIC).to_numpy()
+                   if len(final) else np.array([], dtype=bool))
+    kinds = np.where(rnum[sub], "num", np.where(is_num_text, "num", "json"))
+    extracted, spans_out, n_spans, strip_ratio = _assemble(
+        k, rrow[sub], final.to_numpy(), rs[sub], re_[sub], kinds,
+        conf_cls, raw_len, kline=rline[sub])
+    return extracted, spans_out, n_spans, strip_ratio, json_wins
 
 
 def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
@@ -604,10 +748,12 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         fast = _fast_mask(desk, cfg)
         md_fast = _md_fast_mask(desk, cfg) & ~fast
         html_fast = _html_fast_mask(desk, cfg) & ~fast & ~md_fast
+        json_fast = _json_fast_mask(desk, cfg) & ~fast & ~md_fast & ~html_fast
     else:  # nonzero margins: closed form not proven — everything per-turn
         fast = np.zeros(n, dtype=bool)
         md_fast = fast
         html_fast = fast
+        json_fast = fast
 
     extracted = np.empty(n, dtype=object)
     spans = np.empty(n, dtype=object)
@@ -628,6 +774,18 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         is_blank[pos] = is_blank_v[pos]
         angle[pos] = angle_v[pos]
         # page_skew stays 0.0: same-line boxes keep row centers fixed
+
+    jpos = np.flatnonzero(json_fast)
+    if len(jpos):
+        j_ext, j_spans, j_n, j_ratio, json_wins = _json_outputs(
+            desk.iloc[jpos].reset_index(drop=True), raw_len[jpos], cfg)
+        jwin = jpos[json_wins]
+        _fill_vectorized(jwin, [j_ext[j] for j in np.flatnonzero(json_wins)],
+                         [j_spans[j] for j in np.flatnonzero(json_wins)],
+                         j_n[json_wins], j_ratio[json_wins], "json")
+        # invalid JSON / plain-win rows reduce exactly to the plain closed form
+        json_fast[jpos[~json_wins]] = False
+        fast[jpos[~json_wins]] = True
 
     hpos = np.flatnonzero(html_fast)
     if len(hpos):
@@ -658,7 +816,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         _fill_vectorized(fpos, f_ext, f_spans, f_n, f_ratio, "plain")
 
     texts = raw.to_numpy()
-    fast = fast | md_fast | html_fast
+    fast = fast | md_fast | html_fast | json_fast
     if vec_ok:
         dsk = desk.to_numpy()
 

@@ -129,6 +129,28 @@ ADVERSARIAL = [
     "<p>  \t  </p>",                                # whitespace-only run
     "<p></p><i></i>",                               # no runs at all
     "<p>" + "tok " * 60 + "</p>",
+    # --- json closed-form cases ---
+    '{"tool": "search", "args": {"q": "spark rows", "limit": 17}}',
+    '[1, 2.5, -3e2, "four"]',
+    '{"empty": "", "ws": "   ", "n": 0}',           # empty/blank string values
+    '{"key": "value with spaces", "num_like": "12.5"}',
+    '{"a": {"deep": ["x", {"y": 1}]}}',
+    '{\n  "multi": 1,\n  "line": [2, 3]\n}',
+    '{"broken": json without quotes}',              # invalid -> plain closed form
+    "[not json either",
+    '{"esc": "a\\nb"}',                             # backslash -> oracle path
+    '{"trailing": 1,}',                             # invalid -> plain
+    "   [0]",
+    # --- placeholder (E11) cases on every format ---
+    "✪",
+    " ✪ ✪ ",
+    "plain ✪ remap",
+    "✪leading and trailing✪",
+    "all ✪✪✪ dropped\nnext line",
+    "<p>html ✪ inside</p>",
+    "- md ✪ item\n# ✪",
+    '{"k": "json ✪ value"}',
+    "> quoted ✪",
 ]
 
 
