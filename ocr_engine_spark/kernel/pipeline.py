@@ -143,29 +143,32 @@ OUTPUT_COLUMNS = [
 
 
 # ---------------------------------------------------------------------------
-# Vectorized batch fast path
+# Vectorized batch closed forms (all four payload formats)
 #
-# For a turn whose deskewed payload is PLAIN format (no HTML tag, no markdown
-# marker, no leading '{'/'[', no control chars, no placeholder char) the full
-# pipeline reduces to a closed form that is exact line by line:
+# Shared foundations, each PROVEN exact and pinned by the equivalence suites:
 #
-#   - only the plain parser applies, emitting one span per non-blank line with
-#     conf = texty-char fraction of the trimmed line (detect.parse_plain);
-#   - NMS keeps every span (line spans are disjoint, IoU 0);
-#   - with zero span margins, prepare_spans is the identity on the trimmed ints;
-#   - recognition is whitespace-collapse + token-min conf + numeric re-kind
-#     (controls/placeholder routed away by the predicate);
-#   - in the stitcher every line's pseudo-box [col, li*h, col+len, li*h+h] lands
-#     in its OWN row: adjacent line boxes touch with overlap exactly 0, which is
-#     below the max_row_size*y_overlap_threshold hit bound, so no assignment,
-#     no merge, shifts all 0 (page_skew 0.0) and the final stable top-y sorts
-#     restore line order in every word-formation mode.
+#   - canonicalize/deskew are batch pandas .str passes (multiline quote strip,
+#     '>'-count angle, \S non-blank counting == str.isspace, verified);
+#   - NMS keeps every span (parser spans are disjoint; IoU 0 <= thr);
+#   - with zero span margins, prepare_spans is the identity on trimmed ints;
+#   - recognition = format decode + placeholder->space + whitespace collapse +
+#     token-min conf + numeric re-kind, all C loops over one frame of spans
+#     (blank-after-recognition rows drop, F7);
+#   - the stitch: every span's pseudo-box sits inside one line, so words land
+#     in (line, x) order, same-line words join with ' ', page_skew == 0.0
+#     (stitch.lines_closed_form's invariant);
+#   - the E4 format vote is computed EXACTLY from the competing parsers'
+#     passing-span counts (tag-noise penalty x0.2 < score_thr makes tagged
+#     lines provably fail plain/markdown, link zones halve html confidence).
 #
-# Everything above is computed with pandas .str / numpy C loops over the whole
-# Arrow batch; any row the predicate cannot PROVE reduces (html/markdown/json
-# formats, exotic payloads) falls through to the unchanged per-turn oracle
-# `extract_turn`.  Byte-equality vs the oracle is pinned by the golden suite and
-# tests/test_fastpath_equiv.py.
+# Format specifics: PLAIN = per-line trim/conf; MARKDOWN adds fence parity,
+# leading-marker strip, inline link/emphasis removal; HTML keeps per-row
+# C-level zone regex scans (boilerplate/tags/comments/links) then joins the
+# shared machinery at run granularity; JSON keeps per-row validation + literal
+# scans then joins at span granularity.  Any row a predicate cannot PROVE
+# reduces (escape sequences, exotic entities, sub-0.2 thresholds, nonzero
+# margins) falls back to the per-turn oracle `extract_turn` — byte-identical
+# either way (goldens + tests/test_fastpath_equiv.py + grammar fuzzes).
 # ---------------------------------------------------------------------------
 
 from ocr_engine_spark.kernel.detect import _HTML_TAG, _NON_TEXTY  # noqa: E402
