@@ -214,8 +214,9 @@ def _fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
         & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))  # json inapplicable
         & ~desk.str.contains(_CTRL, regex=True)     # control-strip never fires
         # each token+separator is >=2 chars, so this line-length bound proves no
-        # line can hit the E10 token-truncation path
-        & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
+        # line can hit the E10 token-truncation path (0 = cap disabled)
+        & ((desk.str.len() <= 2 * cfg.max_seq_len - 1) if cfg.max_seq_len
+           else True)
     )
     return ok.to_numpy()
 
@@ -351,7 +352,8 @@ def _md_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
         & ~desk.str.contains(_HTML_TAG, regex=True)
         & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
         & ~desk.str.contains(_CTRL, regex=True)
-        & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
+        & ((desk.str.len() <= 2 * cfg.max_seq_len - 1)
+           if cfg.max_seq_len else True)
     )
     return ok.to_numpy()
 
@@ -455,7 +457,8 @@ def _html_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
         & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
         & ~desk.str.contains(_CTRL, regex=True)
         & ~desk.str.contains(_UNSAFE_AMP, regex=True)  # decode stays exact
-        & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
+        & ((desk.str.len() <= 2 * cfg.max_seq_len - 1)
+           if cfg.max_seq_len else True)
     )
     return ok.to_numpy()
 
@@ -609,7 +612,8 @@ def _json_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
         & ~desk.str.contains(_MD_GATE, regex=True)
         & ~desk.str.contains("\\", regex=False)
         & ~desk.str.contains(_CTRL, regex=True)
-        & (desk.str.len() <= 2 * cfg.max_seq_len - 1)
+        & ((desk.str.len() <= 2 * cfg.max_seq_len - 1)
+           if cfg.max_seq_len else True)
     )
     return ok.to_numpy()
 
@@ -740,7 +744,11 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     raw = pdf["text"].fillna("").astype(str).reset_index(drop=True)
     raw_len = raw.str.len().to_numpy()
 
-    vec_ok = cfg.extend_span_start == 0.0 and cfg.extend_span_end == 0.0
+    # closed forms assume zero-margin span prep AND that NMS keeps disjoint
+    # spans (a pathological negative iou_thr suppresses even non-overlapping
+    # spans in the greedy oracle)
+    vec_ok = (cfg.extend_span_start == 0.0 and cfg.extend_span_end == 0.0
+              and cfg.iou_thr >= 0)
     if vec_ok:
         canon = (raw.str.normalize("NFC")
                  .str.replace("\r\n", "\n", regex=False)

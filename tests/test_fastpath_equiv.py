@@ -210,3 +210,17 @@ def test_bench_corpus_slice_matches_oracle():
     min_size=1, max_size=8))
 def test_hypothesis_text_matches_oracle(texts):
     assert_frame_matches_oracle(texts)
+
+
+def test_pathological_configs_match_oracle():
+    """Config edges that disable or reshape the closed forms: negative NMS
+    threshold (greedy suppression of disjoint spans), disabled token cap, and
+    an empty placeholder char."""
+    texts = ADVERSARIAL[:40]
+    for cfg in (
+        DEFAULT_CONFIG.override(iou_thr=-0.5),
+        DEFAULT_CONFIG.override(max_seq_len=0),
+        DEFAULT_CONFIG.override(placeholder_char=""),
+        DEFAULT_CONFIG.override(score_thr=0.15),   # html path must disable
+    ):
+        assert_frame_matches_oracle(texts, cfg)
