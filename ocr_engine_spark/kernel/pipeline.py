@@ -292,10 +292,11 @@ def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len, kline=None):
 
 
 def _recognize_series(seg: pd.Series, cfg: EngineConfig) -> pd.Series:
-    """Vectorized recognition tail shared by every closed form: the E11
-    placeholder->space remap (literal replace == str.replace in the scalar
-    kernel), whitespace collapse, trim.  Controls are excluded by the masks;
-    format-specific decodes run before this."""
+    """Vectorized recognition tail shared by every closed form, in the scalar
+    kernel's exact order: control strip (format decodes can INTRODUCE controls
+    via numeric refs / escapes even though the masks exclude raw ones) ->
+    placeholder->space remap -> whitespace collapse -> trim."""
+    seg = seg.str.replace(_CTRL, "", regex=True)
     if cfg.placeholder_char:
         seg = seg.str.replace(cfg.placeholder_char, " ", regex=False)
     return seg.str.replace(_WS_RUN, " ", regex=True).str.strip()
@@ -456,7 +457,6 @@ def _html_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
         desk.str.contains(_HTML_TAG, regex=True)
         & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
         & ~desk.str.contains(_CTRL, regex=True)
-        & ~desk.str.contains(_UNSAFE_AMP, regex=True)  # decode stays exact
         & ((desk.str.len() <= 2 * cfg.max_seq_len - 1)
            if cfg.max_seq_len else True)
     )
@@ -571,13 +571,23 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
 
     fkeep = keep & html_wins[rrow] if len(rrow) else keep
     kseg = seg[fkeep].reset_index(drop=True)
-    # recognition: entity decode (ordered literal replaces == unescape's single
-    # pass under the safe-& predicate), whitespace collapse, token-min conf
+    # recognition: entity decode — runs whose every '&' starts a safe ref take
+    # the ordered literal-replace chain (== unescape's single pass, amp last);
+    # runs with any other ref call html.unescape directly (exact by identity)
     final = kseg
     for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                      ("&apos;", "'"), ("&#39;", "'"), ("&#x27;", "'"),
                      ("&amp;", "&")):
         final = final.str.replace(ent, rep, regex=False)
+    unsafe = (kseg.str.contains(_UNSAFE_AMP, regex=True).to_numpy()
+              if len(kseg) else np.array([], dtype=bool))
+    if unsafe.any():
+        import html as _htmllib
+
+        vals = final.to_numpy()
+        for i in np.flatnonzero(unsafe):
+            vals[i] = _htmllib.unescape(kseg.iat[i])
+        final = pd.Series(vals, dtype=object)
     final = _recognize_series(final, cfg)
     nonblank = (final.str.len().to_numpy() > 0 if len(final)
                 else np.array([], dtype=bool))  # F7: placeholder-only runs
@@ -602,15 +612,13 @@ from ocr_engine_spark.kernel.detect import (  # noqa: E402
 def _json_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
     """True where the JSON closed form MAY apply: payload starts like JSON, no
     HTML tag and no markdown marker (so only the plain parser competes in the
-    vote), no escape sequences (string literals decode to themselves), no
-    controls/placeholder.  Rows failing json.loads or losing the vote to the
+    vote), no raw controls.  Rows failing json.loads or losing the vote to the
     plain parser reduce EXACTLY to the plain closed form — no oracle fallback.
     """
     ok = (
         desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
         & ~desk.str.contains(_HTML_TAG, regex=True)
         & ~desk.str.contains(_MD_GATE, regex=True)
-        & ~desk.str.contains("\\", regex=False)
         & ~desk.str.contains(_CTRL, regex=True)
         & ((desk.str.len() <= 2 * cfg.max_seq_len - 1)
            if cfg.max_seq_len else True)
@@ -707,9 +715,25 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     json_wins = valid & ~(cp > cj)  # ties keep json (earlier in PARSERS)
 
     fkeep = keep & json_wins[rrow] if len(rrow) else keep
+    sub_pre = np.flatnonzero(fkeep) if len(rrow) else np.array([], int)
     kseg = seg[fkeep].reset_index(drop=True)
-    # recognition: escape-free literals decode to themselves; collapse + strip;
-    # whitespace-only values drop (F7)
+    # recognition: escape-free literals decode to themselves; spans carrying a
+    # backslash decode via json.loads exactly like the scalar kernel (failures
+    # fall through unchanged); whitespace-only values drop (F7)
+    esc = (kseg.str.contains("\\", regex=False).to_numpy()
+           if len(kseg) else np.array([], dtype=bool))
+    if esc.any():
+        import json as _json
+
+        vals = kseg.to_numpy()
+        for i in np.flatnonzero(esc):
+            if rnum[sub_pre[i]]:
+                continue  # numeric spans never decode
+            try:
+                vals[i] = _json.loads('"' + vals[i] + '"')
+            except ValueError:
+                pass
+        kseg = pd.Series(vals, dtype=object)
     final = _recognize_series(kseg, cfg)
     nonblank = final.str.len().to_numpy() > 0 if len(final) \
         else np.array([], dtype=bool)

@@ -118,8 +118,8 @@ ADVERSARIAL = [
     "<p>multi</p>\nplain line between\n<p>tags</p>",
     "<p>ent &amp; ities &#x27;quoted&#x27;</p>",
     "<p>safe &lt;escaped&gt; &quot;tags&quot;</p>",
-    "<p>unsafe &copy; entity</p>",                  # routes to the oracle path
-    "<p>bare & ampersand</p>",                      # also unsafe -> oracle
+    "<p>unsafe &copy; entity</p>",                  # general unescape per run
+    "<p>bare & ampersand</p>",                      # bare & left as-is
     "<p># not markdown inside html</p>",
     "- md marker\n<p>plus html tag</p>",            # vote: html vs markdown
     "<b>x</b>\nplain one\nplain two\nplain three",  # plain may outnumber html
@@ -138,7 +138,7 @@ ADVERSARIAL = [
     '{\n  "multi": 1,\n  "line": [2, 3]\n}',
     '{"broken": json without quotes}',              # invalid -> plain closed form
     "[not json either",
-    '{"esc": "a\\nb"}',                             # backslash -> oracle path
+    '{"esc": "a\\nb"}',                             # escape decode per span
     '{"trailing": 1,}',                             # invalid -> plain
     "   [0]",
     # --- placeholder (E11) cases on every format ---
@@ -150,6 +150,13 @@ ADVERSARIAL = [
     "<p>html ✪ inside</p>",
     "- md ✪ item\n# ✪",
     '{"k": "json ✪ value"}',
+    # --- general entity / escape decode on the closed forms ---
+    "<p>&copy; 2026 &nbsp; spaced &#65;&#x42;</p>",
+    "<p>&#10;newline ref&#9;tab ref&#7;control ref</p>",
+    "<p>&bogus; &amp not-terminated &ampx</p>",
+    '{"esc": "line\\nbreak", "tab": "a\\tb", "uni": "caf\\u00e9"}',
+    '{"ctrl": "bell\\u0007here", "emoji": "\\ud83d\\ude00"}',
+    '{"bs": "back\\\\slash", "q": "said \\"hi\\""}',
     "> quoted ✪",
 ]
 
