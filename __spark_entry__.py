@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": text_analysis.q_stratified_sample,
         "repetition_stats": text_analysis.q_repetition_stats,
         "token_budget": text_analysis.q_token_budget,
+        "sequence_pack": text_analysis.q_sequence_pack,
         # — deduplication —
         "exact_dedup": dedup.q_exact_dedup,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -676,6 +677,35 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS cum_tokens FROM n)
             SELECT doc_id, source, n_tokens, cum_tokens FROM c
             WHERE cum_tokens <= 600
+        """,
+        # greedy contiguous packing replayed as a per-source recursive scan:
+        # the (seq, fill) state transition row by row in doc_id order — the
+        # sequential semantics the Spark side computes with a grouped-map
+        # Pandas stage (window functions cannot express the reset rule)
+        "sequence_pack": """
+            WITH RECURSIVE n AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+                       AS n_tokens,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+              FROM documents),
+            p AS (
+              SELECT doc_id, source, n_tokens, rn,
+                     CAST(0 AS INTEGER) AS seq_id,
+                     CAST(0 AS BIGINT) AS seq_offset,
+                     n_tokens AS fill
+              FROM n WHERE rn = 1
+              UNION ALL
+              SELECT n.doc_id, n.source, n.n_tokens, n.rn,
+                     CAST(CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512
+                          THEN p.seq_id + 1 ELSE p.seq_id END AS INTEGER),
+                     CAST(CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512
+                          THEN 0 ELSE p.fill END AS BIGINT),
+                     CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512
+                          THEN n.n_tokens ELSE p.fill + n.n_tokens END
+              FROM n JOIN p ON n.source = p.source AND n.rn = p.rn + 1)
+            SELECT doc_id, source, n_tokens, seq_id, seq_offset FROM p
         """,
         # the deduplicated corpus: drop every cluster member except the minimum
         # doc_id, over the SAME MinHash-LSH component pipeline as dedup_clusters

@@ -62,6 +62,7 @@ HEADLINE = [
     "stratified_sample",
     "repetition_stats",
     "token_budget",
+    "sequence_pack",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "dedup_clusters",

@@ -313,3 +313,47 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= 600)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+PACK_SCHEMA = ("doc_id long, source string, n_tokens bigint, "
+               "seq_id int, seq_offset bigint")
+
+
+def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
+    """Greedy contiguous sequence packing per source (the training-sequence
+    assembly step): documents in doc_id order fill a sequence until the next
+    one would overflow ``budget`` tokens, which starts a new sequence;
+    oversized documents occupy a sequence alone.
+
+    The running (sequence, fill) state is a SEQUENTIAL scan — not expressible
+    with window functions — so this is the one pipeline operator that uses the
+    grouped-map Pandas surface (``groupBy(source).applyInPandas``): state
+    stays per-group and bounded, groups parallelize across executors, and the
+    per-group order is total (doc_id), so results are deterministic under any
+    partitioning.
+    """
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, offs = [], []
+        seq = fill = 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > budget:
+                seq += 1
+                fill = 0
+            offs.append(fill)
+            seqs.append(seq)
+            fill += n
+        pdf["seq_id"] = pd.Series(seqs, dtype="int32")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    with_n = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim("text"), " +")).cast("bigint").alias("n_tokens"))
+    return with_n.groupBy("source").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load(spark, sf_dir, "documents"), budget=512)

@@ -155,3 +155,40 @@ def test_stratified_sample_is_deterministic_and_respects_rates(spark, tmp_path):
     rows = q_stratified_sample(spark, sf).collect()
     assert all(r["bucket"] < r["rate"] for r in rows)
     assert 0 < len(rows) < 400  # actually samples, not all/none
+
+
+def test_sequence_packing_matches_python_packer(spark, tmp_path):
+    """Grouped-map packing vs a reference packer on random token sizes, and
+    determinism under repartitioning (state is per-group, order total)."""
+    rng = random.Random(21)
+    docs = [(i, " ".join("w" for _ in range(rng.choice([5, 60, 200, 400, 700]))),
+             f"s{i % 3}") for i in range(150)]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "source"])
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{sf}/documents.parquet")
+
+    from ocr_engine_spark.operators.text_analysis import pack_sequences
+
+    loaded = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+           for r in pack_sequences(loaded, budget=512).collect()}
+    got2 = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+            for r in pack_sequences(loaded.repartition(13), budget=512).collect()}
+    assert got == got2  # deterministic under partitioning
+
+    for src in ("s0", "s1", "s2"):
+        members = sorted((i, len(t.split(" "))) for i, t, s in docs if s == src)
+        seq = fill = 0
+        for i, n in members:
+            if fill > 0 and fill + n > 512:
+                seq += 1
+                fill = 0
+            assert got[i] == (seq, fill), (src, i)
+            fill += n
+        # oversized docs (700 > 512) sit alone at offset 0
+    big = [i for i, t, s in docs if len(t.split(" ")) == 700]
+    assert all(got[i][1] == 0 for i in big)
