@@ -136,3 +136,34 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["text_md5"])
     )
+
+
+def session_metrics_stream(stream: DataFrame,
+                           cfg: EngineConfig = DEFAULT_CONFIG,
+                           watermark: str = "1 hour",
+                           gap: str = "30 minutes") -> DataFrame:
+    """Per-conversation session windows over event time: turns that arrive
+    within ``gap`` of each other merge into one session (Spark's native
+    ``session_window`` — the streaming twin of the batch sessionization in
+    operators/relational.q_event_sessions).  Watermarked, so session state
+    closes and evicts as event time advances."""
+    extracted = stream.select("conv_id", "turn_idx", "text", "ts").mapInPandas(
+        passthrough_wrapper(_extract_batches(cfg), ["ts"]),
+        schema=_schema_with_ts())
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum("n_spans").cast("long").alias("spans"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+    )
+
+
+def _schema_with_ts():
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    return StructType(
+        list(EXTRACTED_SCHEMA.fields) + [StructField("ts", TimestampType())])

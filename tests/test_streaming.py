@@ -45,7 +45,9 @@ def test_stream_extraction_matches_batch(spark, stream_dir):
 def test_metrics_window_stream(spark, stream_dir):
     stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=4)
     q = (
-        metrics_window_stream(stream, watermark="2 hours", window="30 minutes")
+        # watermark covers the corpus's full ~4-month event-time span so no
+        # cross-batch disorder drops as late data (total-count assertion below)
+        metrics_window_stream(stream, watermark="365 days", window="30 minutes")
         .writeStream.format("memory").queryName("metrics_stream")
         # complete mode: append would hold back windows the final watermark never
         # passes (availableNow ends the stream before the last windows close)
@@ -226,3 +228,29 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     want_distinct = spark.read.parquet(src).select("text").distinct().count()
     assert got.count() == want_distinct
     assert got.select("text_md5").distinct().count() == got.count()
+
+
+def test_session_metrics_stream_merges_by_gap(spark, stream_dir):
+    """Native session windows: turns within the gap merge, totals equal the
+    batch turn count (complete mode drains everything under availableNow)."""
+    from ocr_engine_spark.streaming.stream import session_metrics_stream
+
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=2)
+    # the watermark must cover the corpus's FULL event-time span (~4 months):
+    # rows are scattered across files, so a micro-batch can carry timestamps
+    # months behind the advancing watermark, and anything beyond it drops as
+    # late data (the documented default) — a shorter watermark makes the
+    # exact-total assertion below file-order-dependent
+    q = (
+        session_metrics_stream(stream, watermark="365 days", gap="10 minutes")
+        .writeStream.format("memory").queryName("sessions_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sessions_stream").collect()
+    total_turns = sum(r["turns"] for r in rows)
+    assert total_turns == spark.read.parquet(stream_dir).count()
+    # session windows are per conversation and non-degenerate
+    assert all(r["turns"] >= 1 and r["last_turn"] >= r["first_turn"]
+               for r in rows)
+    assert len({r["conv_id"] for r in rows}) > 1
