@@ -893,7 +893,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8000 + 1000 * (doc_id % 5) AS INTEGER) AS sample_rate,
                    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
                    CAST(16 AS INTEGER) AS bits,
-                   CAST((length(text) + (2 * (1 + doc_id % 2)) - 1)
+                   CAST((octet_length(encode(text)) + (2 * (1 + doc_id % 2)) - 1)
                         // (2 * (1 + doc_id % 2))
                         * (2 * (1 + doc_id % 2)) AS BIGINT) AS n_data_bytes
             FROM documents WHERE doc_id % 2 = 1

@@ -171,9 +171,11 @@ OUTPUT_COLUMNS = [
 # either way (goldens + tests/test_fastpath_equiv.py + grammar fuzzes).
 # ---------------------------------------------------------------------------
 
-from ocr_engine_spark.kernel.detect import _HTML_TAG, _NON_TEXTY  # noqa: E402
+from ocr_engine_spark.kernel.detect import (  # noqa: E402
+    _HTML_TAG, _LINK_PENALTY, _MD_FENCE, _MD_LEAD, _NON_TEXTY, _TAGLIKE,
+)
 from ocr_engine_spark.kernel.normalize import (  # noqa: E402
-    _MD_EMPH, _MD_LINK, _NUMERIC,
+    _CC_EXCEPT_TAB_NL, _MD_EMPH, _MD_LINK, _NUMERIC, _WS,
 )
 
 _QUOTE_ML = re.compile(r"(?m)^(?:> ?)+")
@@ -183,8 +185,9 @@ _MD_GATE = re.compile(
     r"(?:^|\n)\s{0,3}(?:#{1,6}\s|[-*+]\s|\d+\.\s|```)|\[[^\]]+\]\([^)]*\)|\*\*")
 _PREFIX_ONLY = re.compile(r"(?m)^((?:> ?)+)?[^\n]*")
 _NONBLANK_LINE = re.compile(r"(?m)^.*\S")
-_CTRL = re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f]")
-_WS_RUN = re.compile(r"\s+")
+# the control class and whitespace-run collapse ARE the kernel's own
+_CTRL = _CC_EXCEPT_TAB_NL
+_WS_RUN = _WS
 
 
 def _deskew_columns(canon: pd.Series):
@@ -206,19 +209,40 @@ def _deskew_columns(canon: pd.Series):
     return desk, nb == 0, angle
 
 
-def _fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
-    """True where the closed-form plain path is PROVEN exact (conservative)."""
-    ok = (
-        ~desk.str.contains(_HTML_TAG, regex=True)   # html parser inapplicable
-        & ~desk.str.contains(_MD_GATE, regex=True)  # markdown inapplicable
-        & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))  # json inapplicable
-        & ~desk.str.contains(_CTRL, regex=True)     # control-strip never fires
-        # each token+separator is >=2 chars, so this line-length bound proves no
-        # line can hit the E10 token-truncation path (0 = cap disabled)
-        & ((desk.str.len() <= 2 * cfg.max_seq_len - 1) if cfg.max_seq_len
-           else True)
-    )
-    return ok.to_numpy()
+def _route_masks(desk: pd.Series, cfg: EngineConfig):
+    """Route every row to its format closed form with ONE pass per gate
+    predicate (the four per-format masks each rescanned the whole batch with
+    the same contains() calls — up to 4x duplicate C-level regex work on the
+    flagship hot path).  Returns disjoint (plain, md, html, json) masks.
+
+    Gate semantics (each conservative — a False routes to a slower but always-
+    exact path):
+    - plain: no tag, no markdown marker, no JSON-ish start;
+    - markdown: marker present, no tag, no JSON-ish start (plain competes in
+      the vote inside _md_outputs);
+    - html: tag present, no JSON-ish start, and score_thr > 0.2 so the tag
+      penalty provably fails tagged lines under the competing parsers;
+    - json: JSON-ish start, no tag, no marker (plain competes in the vote);
+    - all: no raw control chars, and the line-length bound that proves the E10
+      token-truncation path cannot fire (cap 0 = disabled).
+    """
+    g_tag = desk.str.contains(_HTML_TAG, regex=True).to_numpy()
+    g_md = desk.str.contains(_MD_GATE, regex=True).to_numpy()
+    g_json = desk.str.lstrip().str.slice(0, 1).isin(("{", "[")).to_numpy()
+    g_ctrl = desk.str.contains(_CTRL, regex=True).to_numpy()
+    if cfg.max_seq_len:
+        g_len = (desk.str.len() <= 2 * cfg.max_seq_len - 1).to_numpy()
+    else:
+        g_len = np.ones(len(desk), dtype=bool)
+    base = ~g_ctrl & g_len
+    plain = base & ~g_tag & ~g_md & ~g_json
+    md = base & g_md & ~g_tag & ~g_json
+    if cfg.score_thr > 0.2:
+        html = base & g_tag & ~g_json
+    else:
+        html = np.zeros(len(desk), dtype=bool)
+    json_ = base & g_json & ~g_tag & ~g_md
+    return plain, md, html, json_
 
 
 def _line_frame(desk: pd.Series):
@@ -337,26 +361,10 @@ def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
                      abs_e[keep][nonblank], kinds, conf_cls, raw_len)
 
 
-_MD_FENCE_LINE = re.compile(r"\s{0,3}```")
-_MD_LEAD_STRIP = re.compile(r"^\s{0,3}(?:#{1,6}\s+|[-*+]\s+|\d+\.\s+)")
-
-
-def _md_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
-    """True where the MARKDOWN closed form applies: markdown markers present,
-    html/json parsers provably inapplicable, no controls/placeholder.  The
-    plain parser still competes in the format vote — _md_outputs counts both
-    parsers' passing spans and routes plain-win rows back through the plain
-    closed form (strict-majority wins; ties keep markdown, the first-parser
-    tie rule)."""
-    ok = (
-        desk.str.contains(_MD_GATE, regex=True)
-        & ~desk.str.contains(_HTML_TAG, regex=True)
-        & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
-        & ~desk.str.contains(_CTRL, regex=True)
-        & ((desk.str.len() <= 2 * cfg.max_seq_len - 1)
-           if cfg.max_seq_len else True)
-    )
-    return ok.to_numpy()
+# detect's own fence/lead patterns (the lead's capture group is irrelevant to
+# a whole-match replace)
+_MD_FENCE_LINE = _MD_FENCE
+_MD_LEAD_STRIP = _MD_LEAD
 
 
 def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
@@ -437,30 +445,11 @@ def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
 # can never re-trigger a decode) equal html.unescape's single pass
 _SAFE_ENTITIES = ("&lt;", "&gt;", "&quot;", "&apos;", "&#39;", "&#x27;", "&amp;")
 _UNSAFE_AMP = re.compile(r"&(?!(?:amp|lt|gt|quot|apos|#39|#x27);)")
-_TAGLIKE_GATE = re.compile(r"<[A-Za-z!/][^>]*>")  # = detect._TAGLIKE / _HTML_TAG
+_TAGLIKE_GATE = _TAGLIKE  # detect's own tag-noise pattern
 
 from ocr_engine_spark.kernel.detect import (  # noqa: E402
     _HTML_A_ZONE, _HTML_DROP, _NEWLINE_RE,
 )
-
-
-def _html_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
-    """True where the HTML closed form MAY apply (the E4 vote inside
-    _html_outputs still routes markdown/plain-win rows back to the slow path).
-
-    Requires score_thr > 0.2 so the tag-noise penalty (x0.2, conf <= 1) makes
-    tagged lines provably fail the plain/markdown parsers — that is what turns
-    their vote counts into closed forms."""
-    if cfg.score_thr <= 0.2:
-        return np.zeros(len(desk), dtype=bool)
-    ok = (
-        desk.str.contains(_HTML_TAG, regex=True)
-        & ~desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
-        & ~desk.str.contains(_CTRL, regex=True)
-        & ((desk.str.len() <= 2 * cfg.max_seq_len - 1)
-           if cfg.max_seq_len else True)
-    )
-    return ok.to_numpy()
 
 
 def _html_runs(text: str):
@@ -530,7 +519,7 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     nbad = seg.str.count(_NON_TEXTY).to_numpy() if len(seg) else np.array([])
     with np.errstate(invalid="ignore", divide="ignore"):
         conf = np.where(slen > 0, (slen - nbad) / np.maximum(slen, 1), 0.0)
-    conf = np.where(rlink, conf * 0.5, conf)
+    conf = np.where(rlink, conf * _LINK_PENALTY, conf)
     keep = conf >= cfg.score_thr
     ch = np.zeros(k, dtype=np.int64)
     if len(rrow):
@@ -607,23 +596,6 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
 from ocr_engine_spark.kernel.detect import (  # noqa: E402
     _JSON_NUMBER, _JSON_STRING,
 )
-
-
-def _json_fast_mask(desk: pd.Series, cfg: EngineConfig) -> np.ndarray:
-    """True where the JSON closed form MAY apply: payload starts like JSON, no
-    HTML tag and no markdown marker (so only the plain parser competes in the
-    vote), no raw controls.  Rows failing json.loads or losing the vote to the
-    plain parser reduce EXACTLY to the plain closed form — no oracle fallback.
-    """
-    ok = (
-        desk.str.lstrip().str.slice(0, 1).isin(("{", "["))
-        & ~desk.str.contains(_HTML_TAG, regex=True)
-        & ~desk.str.contains(_MD_GATE, regex=True)
-        & ~desk.str.contains(_CTRL, regex=True)
-        & ((desk.str.len() <= 2 * cfg.max_seq_len - 1)
-           if cfg.max_seq_len else True)
-    )
-    return ok.to_numpy()
 
 
 def _json_spans(text: str):
@@ -768,11 +740,14 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     raw = pdf["text"].fillna("").astype(str).reset_index(drop=True)
     raw_len = raw.str.len().to_numpy()
 
-    # closed forms assume zero-margin span prep AND that NMS keeps disjoint
+    # closed forms assume zero-margin span prep, that NMS keeps disjoint
     # spans (a pathological negative iou_thr suppresses even non-overlapping
-    # spans in the greedy oracle)
+    # spans in the greedy oracle), AND 'line'-mode stitching — under the
+    # word_group/tesseract/mmocr modes, same-line spans farther apart than
+    # max_x_dist split into separate newline-joined segments, which the
+    # closed forms' space-joined line assembly does not reproduce
     vec_ok = (cfg.extend_span_start == 0.0 and cfg.extend_span_end == 0.0
-              and cfg.iou_thr >= 0)
+              and cfg.iou_thr >= 0 and cfg.word_formation_mode == "line")
     if vec_ok:
         canon = (raw.str.normalize("NFC")
                  .str.replace("\r\n", "\n", regex=False)
@@ -780,10 +755,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         if cfg.max_chars:
             canon = canon.str.slice(0, cfg.max_chars)
         desk, is_blank_v, angle_v = _deskew_columns(canon)
-        fast = _fast_mask(desk, cfg)
-        md_fast = _md_fast_mask(desk, cfg) & ~fast
-        html_fast = _html_fast_mask(desk, cfg) & ~fast & ~md_fast
-        json_fast = _json_fast_mask(desk, cfg) & ~fast & ~md_fast & ~html_fast
+        fast, md_fast, html_fast, json_fast = _route_masks(desk, cfg)
     else:  # nonzero margins: closed form not proven — everything per-turn
         fast = np.zeros(n, dtype=bool)
         md_fast = fast

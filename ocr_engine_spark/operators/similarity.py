@@ -160,21 +160,23 @@ def train_centroids(corpus: DataFrame, k: int = 8, iterations: int = 3,
         cents, "centroid_id long, embedding array<double>")
 
 
-_TRAINED_CACHE: dict = {}
+_TRAINED_CACHE: dict = {}  # (sf_dir, k, T) -> plain centroid rows (no session refs)
 
 
 def trained_centroids(spark: SparkSession, sf_dir: str, k: int = 8,
                       iterations: int = 3) -> DataFrame:
-    """Trained centroids for the contract embeddings table, cached per (sf_dir, k,
-    T) within the session — every IVF contract query shares one training run."""
+    """Trained centroids for the contract embeddings table, cached per (sf_dir,
+    k, T) as PLAIN rows — every IVF contract query shares one training run, and
+    the cache stays valid across SparkSessions (a cached DataFrame would hold a
+    reference to a possibly-stopped session)."""
     key = (sf_dir, k, iterations)
     if key not in _TRAINED_CACHE:
         emb = load(spark, sf_dir, "embeddings")
         cents = train_centroids(emb, k=k, iterations=iterations)
-        _TRAINED_CACHE[key] = spark.createDataFrame(
-            [(r["centroid_id"], list(r["embedding"])) for r in cents.collect()],
-            "vec_id long, embedding array<double>")
-    return _TRAINED_CACHE[key]
+        _TRAINED_CACHE[key] = [
+            (r["centroid_id"], list(r["embedding"])) for r in cents.collect()]
+    return spark.createDataFrame(
+        _TRAINED_CACHE[key], "vec_id long, embedding array<double>")
 
 
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,13 +105,9 @@ def metrics_window_stream(stream: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                           watermark: str = "1 hour",
                           window: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling metrics (turns, spans, strip ratio) over event time."""
-    from pyspark.sql.types import StructField, StructType, TimestampType
-
-    # fresh StructType — .add() would mutate the shared EXTRACTED_SCHEMA
-    schema = StructType(
-        list(EXTRACTED_SCHEMA.fields) + [StructField("ts", TimestampType())])
     extracted = stream.select("conv_id", "turn_idx", "text", "ts").mapInPandas(
-        passthrough_wrapper(_extract_batches(cfg), ["ts"]), schema=schema)
+        passthrough_wrapper(_extract_batches(cfg), ["ts"]),
+        schema=_schema_with_ts())
     return (
         extracted.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"))

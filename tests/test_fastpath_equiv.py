@@ -173,7 +173,7 @@ def test_generator_corpus_matches_oracle():
 
 
 def test_nondefault_configs_match_oracle():
-    texts = ADVERSARIAL[:28]
+    texts = ADVERSARIAL  # the FULL list: html/json fixtures must see overrides too
     # truncation cap exercises the max_chars slice; tiny max_seq_len exercises
     # the token-bound demotion; higher score_thr drops low-conf lines; margins
     # disable the vectorized path entirely
@@ -223,7 +223,7 @@ def test_pathological_configs_match_oracle():
     """Config edges that disable or reshape the closed forms: negative NMS
     threshold (greedy suppression of disjoint spans), disabled token cap, and
     an empty placeholder char."""
-    texts = ADVERSARIAL[:40]
+    texts = ADVERSARIAL
     for cfg in (
         DEFAULT_CONFIG.override(iou_thr=-0.5),
         DEFAULT_CONFIG.override(max_seq_len=0),
