@@ -7,8 +7,11 @@ JVM subprocess so JIT/page-cache state cannot leak.
 
 Measurement protocol (all pairs reported, none auto-selected):
 
-1. Per level C in {2, 4, 8, 16, 32}: best-of-REPS wall time of the full job, AND
-   best-of-REPS wall time of the identical job on a tiny slice — the latter is the
+1. Per level C in {2, 4, 8, 16, 32}: best wall time over REPS INTERLEAVED
+   round-robin passes (one fresh-JVM rep of every level per pass, so a noisy
+   machine window on this shared VM degrades all levels roughly equally rather
+   than poisoning one level's whole rep block), AND the same for the identical
+   job on a tiny slice — the latter is the
    per-job FIXED OVERHEAD (scheduler + stage setup + Arrow worker dispatch), which
    depresses small-N baselines and can push raw small-N efficiencies above 1.0.
    Corrected throughput uses (T_full - T_tiny).
@@ -43,7 +46,7 @@ LEVELS = sorted({c for pair in PAIRS for c in pair})
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "120000"))
 MAX_PARTITION_BYTES = 512 << 10  # byte-bounded scan splits; sized so 4N has >=2 waves
 ROW_GROUP_ROWS = 8192  # parquet row groups small enough for sub-MB split boundaries
-REPS = 3  # best-of-N to suppress scheduling noise on the shared VM
+REPS = 3  # best-of-N via INTERLEAVED passes (drift-robust) on the shared VM
 TINY_ROWS = 2000  # fixed-overhead probe: same job shape, negligible compute
 
 
@@ -69,17 +72,16 @@ def worker(cpus: int, parquet: str) -> None:
     # warmup: fork + import the Python workers, outside every timed region
     extract_transcripts(df.limit(TINY_ROWS)) \
         .write.format("noop").mode("overwrite").save()
-    tiny = float("inf")
-    for _ in range(REPS):  # fixed-overhead probe: same job, negligible data
-        t0 = time.perf_counter()
-        extract_transcripts(df.limit(TINY_ROWS)) \
-            .write.format("noop").mode("overwrite").save()
-        tiny = min(tiny, time.perf_counter() - t0)
-    sec = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        extract_transcripts(df).write.format("noop").mode("overwrite").save()
-        sec = min(sec, time.perf_counter() - t0)
+    # ONE timed rep of each job per invocation: repetition comes from the
+    # orchestrator's interleaved passes (see orchestrate), so one noisy time
+    # window on the shared VM cannot poison all of a level's reps at once
+    t0 = time.perf_counter()
+    extract_transcripts(df.limit(TINY_ROWS)) \
+        .write.format("noop").mode("overwrite").save()
+    tiny = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    extract_transcripts(df).write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
     print(json.dumps({
         "cpus": cpus, "turns": n_turns, "splits": splits,
         "sec": round(sec, 3), "tiny_sec": round(tiny, 3),
@@ -97,18 +99,16 @@ def mp_control(parquet: str) -> dict:
 
     corpus = pq.read_table(parquet).to_pandas()
 
-    out = {}
-    for nproc in LEVELS:
-        chunks = [corpus.iloc[i::nproc] for i in range(nproc)]
-        with mp.Pool(nproc) as pool:
-            pool.map(_mp_run, [c.iloc[:50] for c in chunks])  # warm imports
-            best = float("inf")
-            for _ in range(2):
+    best = {nproc: float("inf") for nproc in LEVELS}
+    for _pass in range(2):  # interleaved passes, same rationale as the Spark side
+        for nproc in LEVELS:
+            chunks = [corpus.iloc[i::nproc] for i in range(nproc)]
+            with mp.Pool(nproc) as pool:
+                pool.map(_mp_run, [c.iloc[:50] for c in chunks])  # warm imports
                 t0 = time.perf_counter()
                 pool.map(_mp_run, chunks)
-                best = min(best, time.perf_counter() - t0)
-        out[nproc] = round(len(corpus) / best, 1)
-    return out
+                best[nproc] = min(best[nproc], time.perf_counter() - t0)
+    return {nproc: round(len(corpus) / b, 1) for nproc, b in best.items()}
 
 
 def _mp_run(chunk):
@@ -127,14 +127,27 @@ def orchestrate() -> None:
     n_rows = write_transcripts_parquet(str(parquet), n_convs=N_CONVS, seed=7,
                                        whale_factor=100,
                                        row_group_size=ROW_GROUP_ROWS)
+    # REPS interleaved passes over the levels (round-robin, fresh JVM each):
+    # machine-state drift on the shared VM then hits every level roughly
+    # equally instead of poisoning whichever level's back-to-back rep block
+    # happened to coincide with a noisy window; per level keep the best rep
     results = {}
+    for _pass in range(REPS):
+        for cpus in LEVELS:
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker", str(cpus), str(parquet)],
+                capture_output=True, text=True, check=True, cwd=REPO)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            best = results.setdefault(cpus, r)
+            best["sec"] = min(best["sec"], r["sec"])
+            best["tiny_sec"] = min(best["tiny_sec"], r["tiny_sec"])
     for cpus in LEVELS:
-        out = subprocess.run(
-            [sys.executable, __file__, "--worker", str(cpus), str(parquet)],
-            capture_output=True, text=True, check=True, cwd=REPO)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line, flush=True)
+        r = results[cpus]
+        r["turns_per_sec"] = round(r["turns"] / r["sec"], 1)
+        r["turns_per_sec_corrected"] = round(
+            r["turns"] / max(r["sec"] - r["tiny_sec"], 1e-9), 1)
+        print(json.dumps(r), flush=True)
 
     control = mp_control(str(parquet))
     print(json.dumps({"mp_control": control}), flush=True)
@@ -169,7 +182,7 @@ seeded synthetic corpus ({n_rows:,} turns, {N_CONVS:,} conversations, Zipfian tu
 counts + 100x whale conversation).  Parquet scan splits byte-bounded at
 {MAX_PARTITION_BYTES >> 10} KiB ({results[max(results)]["splits"]} splits — identical
 task set at every level; strong scaling).  Each level runs in a fresh JVM; Python
-workers warmed outside the timed region; best of {REPS} runs.
+workers warmed outside the timed region; best over {REPS} interleaved passes.
 
 ## All pairs (nothing auto-selected)
 
@@ -206,7 +219,7 @@ throughput divides by (T_full - T_tiny).
 {_conclusions(pair_stats)}
 
 Run-to-run variance: this is a shared VM — per-level throughput drifts several
-percent between full protocol runs (best-of-{REPS} suppresses within-run noise
+percent between full protocol runs (interleaved best-of-{REPS} suppresses within-run noise
 only).  Single-pair numbers should be read with that error bar; the consistent
 signals across runs are (a) every headroom pair's corrected efficiency lands
 around or above 0.8 and (b) the Spark/control ratio stays near 1.0.
