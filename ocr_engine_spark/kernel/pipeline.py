@@ -179,6 +179,7 @@ from ocr_engine_spark.kernel.normalize import (  # noqa: E402
 )
 
 _QUOTE_ML = re.compile(r"(?m)^(?:> ?)+")
+_CRLF = re.compile("\r\n?")
 # _MD_MARKER with non-capturing groups: identical as a boolean gate, and pandas
 # str.contains stays quiet about unused capture groups
 _MD_GATE = re.compile(
@@ -749,9 +750,9 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     vec_ok = (cfg.extend_span_start == 0.0 and cfg.extend_span_end == 0.0
               and cfg.iou_thr >= 0 and cfg.word_formation_mode == "line")
     if vec_ok:
-        canon = (raw.str.normalize("NFC")
-                 .str.replace("\r\n", "\n", regex=False)
-                 .str.replace("\r", "\n", regex=False))
+        # one fused pass: \r\n? -> \n equals replace('\r\n')+replace('\r'),
+        # with one less full-corpus string copy (bandwidth is the 32-core limit)
+        canon = raw.str.normalize("NFC").str.replace(_CRLF, "\n", regex=True)
         if cfg.max_chars:
             canon = canon.str.slice(0, cfg.max_chars)
         desk, is_blank_v, angle_v = _deskew_columns(canon)
