@@ -165,10 +165,13 @@ OUTPUT_COLUMNS = [
 # leading-marker strip, inline link/emphasis removal; HTML keeps per-row
 # C-level zone regex scans (boilerplate/tags/comments/links) then joins the
 # shared machinery at run granularity; JSON keeps per-row validation + literal
-# scans then joins at span granularity.  Any row a predicate cannot PROVE
-# reduces (escape sequences, exotic entities, sub-0.2 thresholds, nonzero
-# margins) falls back to the per-turn oracle `extract_turn` — byte-identical
-# either way (goldens + tests/test_fastpath_equiv.py + grammar fuzzes).
+# scans then joins at span granularity; entity references and escape
+# sequences decode per affected run/span (identical-by-construction calls into
+# html.unescape / json.loads).  Configs the derivations did not assume fall
+# back wholesale to the per-turn oracle `extract_turn`: nonzero span margins,
+# negative NMS thresholds, non-'line' word-formation modes, and (for the HTML
+# path) score thresholds <= the tag penalty — byte-identical either way
+# (goldens + tests/test_fastpath_equiv.py + grammar fuzzes).
 # ---------------------------------------------------------------------------
 
 from ocr_engine_spark.kernel.detect import (  # noqa: E402
@@ -316,12 +319,15 @@ def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len, kline=None):
     return extracted, spans_out, n_spans, strip_ratio
 
 
-def _recognize_series(seg: pd.Series, cfg: EngineConfig) -> pd.Series:
+def _recognize_series(seg: pd.Series, cfg: EngineConfig,
+                      strip_ctrl: bool = False) -> pd.Series:
     """Vectorized recognition tail shared by every closed form, in the scalar
-    kernel's exact order: control strip (format decodes can INTRODUCE controls
-    via numeric refs / escapes even though the masks exclude raw ones) ->
-    placeholder->space remap -> whitespace collapse -> trim."""
-    seg = seg.str.replace(_CTRL, "", regex=True)
+    kernel's exact order: control strip -> placeholder->space remap ->
+    whitespace collapse -> trim.  ``strip_ctrl`` is only needed by the html/
+    json paths, whose decodes can INTRODUCE controls (numeric refs, escapes);
+    the masks exclude raw controls, so plain/markdown skip that pass."""
+    if strip_ctrl:
+        seg = seg.str.replace(_CTRL, "", regex=True)
     if cfg.placeholder_char:
         seg = seg.str.replace(cfg.placeholder_char, " ", regex=False)
     return seg.str.replace(_WS_RUN, " ", regex=True).str.strip()
@@ -578,7 +584,7 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
         for i in np.flatnonzero(unsafe):
             vals[i] = _htmllib.unescape(kseg.iat[i])
         final = pd.Series(vals, dtype=object)
-    final = _recognize_series(final, cfg)
+    final = _recognize_series(final, cfg, strip_ctrl=True)
     nonblank = (final.str.len().to_numpy() > 0 if len(final)
                 else np.array([], dtype=bool))  # F7: placeholder-only runs
     final = final[nonblank].reset_index(drop=True)
@@ -707,11 +713,11 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
             except ValueError:
                 pass
         kseg = pd.Series(vals, dtype=object)
-    final = _recognize_series(kseg, cfg)
+    final = _recognize_series(kseg, cfg, strip_ctrl=True)
     nonblank = final.str.len().to_numpy() > 0 if len(final) \
         else np.array([], dtype=bool)
     final = final[nonblank].reset_index(drop=True)
-    sub = np.flatnonzero(fkeep)[nonblank] if len(rrow) else np.array([], int)
+    sub = sub_pre[nonblank] if len(rrow) else np.array([], int)
     fbad = final.str.count(_NON_TEXTY).to_numpy() if len(final) else np.array([])
     conf_cls = _token_min_conf(final, fbad)
     is_num_text = (final.str.match(_NUMERIC).to_numpy()

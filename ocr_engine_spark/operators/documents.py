@@ -53,9 +53,10 @@ def q_manifest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 20 == 3), so query and oracle agree at EVERY scale factor — no
     hard-coded upper bound.  One malformed row is planted to exercise quarantine.
 
-    The manifest is written DISTRIBUTED (``df.write.csv`` into one ``mkdtemp``
-    per process+sf_dir, reused across invocations so repeated bench/contract
-    runs don't accumulate temp dirs): no O(corpus) driver-side collect, and no
+    The manifest is written DISTRIBUTED (``df.write.csv``) exactly once per
+    process+sf_dir into a private ``mkdtemp`` — repeated runs reuse it (no temp
+    accumulation, and no overwrite that would invalidate an earlier
+    invocation's lazy result), with no O(corpus) driver-side collect and no
     predictable shared temp path another process could pre-create or race on.
     (Demo scaffolding only — a production manifest lives on shared storage; on
     a real cluster this local temp path would not be executor-visible.)
@@ -68,11 +69,16 @@ def q_manifest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     if sf_dir not in _DEMO_MANIFEST_DIRS:
-        _DEMO_MANIFEST_DIRS[sf_dir] = tempfile.mkdtemp(
-            prefix="ocr_engine_manifest_")
-    csv_dir = os.path.join(_DEMO_MANIFEST_DIRS[sf_dir], "manifest_csv")
-    write_manifest_distributed(
-        docs.where(F.col("doc_id") % 20 == 3), csv_dir)
+        # write exactly ONCE per (process, sf_dir): the demo manifest is a
+        # deterministic function of the corpus, and re-overwriting the shared
+        # dir would delete the files an earlier invocation's still-lazy result
+        # DataFrame captured at read time
+        csv_dir = os.path.join(
+            tempfile.mkdtemp(prefix="ocr_engine_manifest_"), "manifest_csv")
+        write_manifest_distributed(
+            docs.where(F.col("doc_id") % 20 == 3), csv_dir)
+        _DEMO_MANIFEST_DIRS[sf_dir] = csv_dir
+    csv_dir = _DEMO_MANIFEST_DIRS[sf_dir]
 
     manifest, _quarantined = read_manifest_csv(spark, csv_dir)
     picked = docs.join(manifest.select("doc_id"), "doc_id", "left_semi")
