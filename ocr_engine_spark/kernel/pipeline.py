@@ -183,6 +183,7 @@ from ocr_engine_spark.kernel.normalize import (  # noqa: E402
 
 _QUOTE_ML = re.compile(r"(?m)^(?:> ?)+")
 _CRLF = re.compile("\r\n?")
+_QUOTE_GATE = re.compile(r"(?m)^>")
 # _MD_MARKER with non-capturing groups: identical as a boolean gate, and pandas
 # str.contains stays quiet about unused capture groups
 _MD_GATE = re.compile(
@@ -205,11 +206,24 @@ def _deskew_columns(canon: pd.Series):
     to '' iff it has no non-whitespace char; `\\s` equals str.isspace for every
     codepoint — verified exhaustively).
     """
-    desk = canon.str.replace(_QUOTE_ML, "", regex=True)
-    gt_total = canon.str.replace(_PREFIX_ONLY, r"\1", regex=True).str.count(">")
-    nonblank = canon.str.count(_NONBLANK_LINE)
-    nb = nonblank.to_numpy()
-    angle = np.where(nb > 0, gt_total.to_numpy() / np.maximum(nb, 1), 0.0)
+    # quote handling only touches rows that HAVE a quote-prefixed line (a
+    # line's prefix regex fires iff the line starts with '>', which one cheap
+    # contains gate detects) — on mostly-unquoted corpora this replaces two
+    # full-batch regex passes with subset passes over the ~14% quoted rows
+    quoted = canon.str.contains(_QUOTE_GATE, regex=True).to_numpy()
+    qpos = np.flatnonzero(quoted)
+    gt = np.zeros(len(canon), dtype=np.int64)
+    if len(qpos):
+        sub = canon.iloc[qpos]
+        desk_vals = canon.to_numpy().copy()
+        desk_vals[qpos] = sub.str.replace(_QUOTE_ML, "", regex=True).to_numpy()
+        desk = pd.Series(desk_vals, dtype=object)
+        gt[qpos] = (sub.str.replace(_PREFIX_ONLY, r"\1", regex=True)
+                    .str.count(">").to_numpy())
+    else:
+        desk = canon
+    nb = canon.str.count(_NONBLANK_LINE).to_numpy()
+    angle = np.where(nb > 0, gt / np.maximum(nb, 1), 0.0)
     return desk, nb == 0, angle
 
 
