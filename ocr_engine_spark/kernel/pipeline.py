@@ -288,7 +288,14 @@ def _line_frame(desk: pd.Series):
 def _token_min_conf(collapsed: pd.Series, nbad: np.ndarray) -> np.ndarray:
     """Per-line recognition confidence: min over tokens containing a non-texty
     char of their texty fraction; exactly 1.0 for clean lines
-    (normalize.recognize_one's E10 min-aggregation)."""
+    (normalize.recognize_one's E10 min-aggregation).
+
+    ``nbad`` may be any DIRTY-SUPERSET indicator (e.g. the pre-decode count):
+    rows flagged dirty whose tokens are actually clean still yield exactly 1.0
+    through the token min, so over-approximation costs only a wasted explode —
+    never a wrong confidence.  (Every decode-changing span was pre-decode
+    dirty: entities need '&', escapes need a backslash, markdown inline markup
+    needs brackets/asterisks — all non-texty.)"""
     conf_cls = np.ones(len(collapsed))
     dirty = np.flatnonzero(nbad > 0)
     if len(dirty):
@@ -373,8 +380,7 @@ def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
                 else np.array([], dtype=bool))  # F7: placeholder-only lines
     final = final[nonblank].reset_index(drop=True)
     krow = krow[nonblank]
-    fbad = final.str.count(_NON_TEXTY).to_numpy() if len(final) else np.array([])
-    conf_cls = _token_min_conf(final, fbad)
+    conf_cls = _token_min_conf(final, nbad[keep][nonblank])  # dirty-superset
     is_num = (final.str.match(_NUMERIC).to_numpy()
               if len(final) else np.array([], dtype=bool))
     kinds = np.where(is_num, "num", "text")
@@ -450,8 +456,7 @@ def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     nonblank = flen > 0  # F7: blank-after-recognition dropped
     final = final[nonblank].reset_index(drop=True)
     krow = krow[nonblank]
-    fbad = final.str.count(_NON_TEXTY).to_numpy()
-    conf_cls = _token_min_conf(final, fbad)
+    conf_cls = _token_min_conf(final, nbad_m[keep][nonblank])  # dirty-superset
     is_num = final.str.match(_NUMERIC).to_numpy()
     kinds = np.where(is_num, "num", "markdown")
     ks = abs_s[keep][nonblank]
@@ -603,8 +608,8 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
                 else np.array([], dtype=bool))  # F7: placeholder-only runs
     final = final[nonblank].reset_index(drop=True)
     fkeep2 = np.flatnonzero(fkeep)[nonblank] if len(rrow) else np.array([], int)
-    fbad = final.str.count(_NON_TEXTY).to_numpy() if len(final) else np.array([])
-    conf_cls = _token_min_conf(final, fbad)
+    fb = nbad[fkeep][nonblank] if len(rrow) else np.array([])  # dirty-superset
+    conf_cls = _token_min_conf(final, fb)
     is_num = (final.str.match(_NUMERIC).to_numpy()
               if len(final) else np.array([], dtype=bool))
     kinds = np.where(is_num, "num", "html")
@@ -732,8 +737,8 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
         else np.array([], dtype=bool)
     final = final[nonblank].reset_index(drop=True)
     sub = sub_pre[nonblank] if len(rrow) else np.array([], int)
-    fbad = final.str.count(_NON_TEXTY).to_numpy() if len(final) else np.array([])
-    conf_cls = _token_min_conf(final, fbad)
+    fb = nbad[sub] if len(rrow) else np.array([])  # dirty-superset pre-count
+    conf_cls = _token_min_conf(final, fb)
     is_num_text = (final.str.match(_NUMERIC).to_numpy()
                    if len(final) else np.array([], dtype=bool))
     kinds = np.where(rnum[sub], "num", np.where(is_num_text, "num", "json"))
