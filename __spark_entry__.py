@@ -391,7 +391,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customers_without_orders": """
             SELECT c_mktsegment, count(*) AS n_customers FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_mktsegment
         """,
         "event_windows": """
@@ -563,7 +564,12 @@ def oracle_sql() -> dict[str, str]:
               FROM wgt) WHERE rank <= 3
         """,
         "exact_dedup": """
-            WITH h AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 20 = 7),
+            h AS (SELECT doc_id, md5(text) AS text_md5 FROM corpus),
             g AS (SELECT doc_id, text_md5,
                          count(*) OVER (PARTITION BY text_md5) AS n_copies,
                          CAST(row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS INTEGER) AS dup_rank
@@ -831,22 +837,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
               FROM s) WHERE rank <= 5
         """,
+        # twins planted in-query (vec_id % 25 = 3 -> vec_id + 1000000, components
+        # halved: exact IEEE scaling, cosine bit-identical) so the >= 0.9 filter
+        # verifies on non-empty output — see similarity._with_planted_twins
         "embedding_neardup": f"""
-            WITH e AS ({_EMB})
+            WITH e0 AS ({_EMB}),
+            e AS (
+              SELECT vec_id, emb, label FROM e0
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, [x * 0.5 for x in emb] AS emb,
+                     label
+              FROM e0 WHERE vec_id % 25 = 3)
             SELECT id_a, id_b, score FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS score
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
             WHERE score >= 0.9
         """,
+        # centroids train on the RAW corpus (the km CTEs read e); the planted-twin
+        # corpus ec feeds assignment + candidate generation + verification only
         "embedding_neardup_ivf": f"""
             WITH e AS ({_EMB}),
             {km},
+            ec AS (
+              SELECT vec_id, emb, label FROM e
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, [x * 0.5 for x in emb] AS emb,
+                     label
+              FROM e WHERE vec_id % 25 = 3),
             assigned AS (
               SELECT vec_id, emb, label, centroid_id FROM (
                 SELECT v.vec_id, v.emb, v.label, c.centroid_id,
                        row_number() OVER (PARTITION BY v.vec_id
                          ORDER BY {cos_vc} DESC, c.centroid_id) AS rn
-                FROM e v JOIN cent c ON true) WHERE rn <= 2),
+                FROM ec v JOIN cent c ON true) WHERE rn <= 2),
             cand AS (
               SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
               FROM assigned a JOIN assigned b
@@ -854,7 +877,7 @@ def oracle_sql() -> dict[str, str]:
                AND a.vec_id < b.vec_id)
             SELECT id_a, id_b, score FROM (
               SELECT id_a, id_b, {cos_ab} AS score
-              FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
+              FROM cand JOIN ec a ON a.vec_id = id_a JOIN ec b ON b.vec_id = id_b)
             WHERE score >= 0.9
         """,
         "binary_features": """

@@ -36,6 +36,25 @@ from ocr_engine_spark.kernel.stitch import (
 _NEWLINE = re.compile("\n")
 
 
+def _line_closed_form_ok(cfg: EngineConfig) -> bool:
+    """True iff the 'line'-mode closed form is provably equal to the live stitch.
+
+    lines_closed_form's derivation (kernel/stitch.py) needs the zero-overlap
+    hit test to REJECT cross-line merges and the EMA clamp to stay a no-op:
+    - 0 < y_overlap_threshold < 1: at <=0 the `overlap < max_row_size*thr`
+      rejection never fires (0 < 0 is false) so adjacent lines merge; at >=1
+      the `bottom-top-overlap > max_row_size*thr` test stops rejecting
+      two-line rows (h > h is false) — either way the live stitch can produce
+      merged rows and a nonzero page_skew the closed form never emits;
+    - 0 <= max_running_y_shift_degree < 90: tan() of a negative angle gives a
+      negative clamp (min() pins every running shift to it -> nonzero skew),
+      and >=90 degrees is outside tan's principal branch.
+    Outside these bounds the pipeline runs the live words_formation greedy.
+    """
+    return (0.0 < cfg.y_overlap_threshold < 1.0
+            and 0 <= cfg.max_running_y_shift_degree < 90)
+
+
 def _line_geometry(text: str):
     """Start offsets of every line (for offset -> (line, column) mapping) and the page
     width = longest line length in characters (the img.shape[1] analogue).
@@ -105,9 +124,10 @@ def _extract_prepared(canon: str, is_blank: bool, angle: float, raw_len: int,
     if not words:
         return empty
 
-    if cfg.word_formation_mode == "line":
+    if cfg.word_formation_mode == "line" and _line_closed_form_ok(cfg):
         # the engine's pseudo-geometry provably collapses the live stitch to a
-        # per-line closed form (see stitch.lines_closed_form) — O(n) per turn
+        # per-line closed form (see stitch.lines_closed_form) — O(n) per turn;
+        # pathological threshold/clamp configs fall through to the live greedy
         line_texts, out_words, page_skew = lines_closed_form(words)
         extracted = "\n".join(line_texts)
     else:
@@ -771,9 +791,12 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     # spans in the greedy oracle), AND 'line'-mode stitching — under the
     # word_group/tesseract/mmocr modes, same-line spans farther apart than
     # max_x_dist split into separate newline-joined segments, which the
-    # closed forms' space-joined line assembly does not reproduce
+    # closed forms' space-joined line assembly does not reproduce; the
+    # 'line' closed form additionally needs _line_closed_form_ok's threshold
+    # and clamp bounds, outside which the live greedy can merge lines
     vec_ok = (cfg.extend_span_start == 0.0 and cfg.extend_span_end == 0.0
-              and cfg.iou_thr >= 0 and cfg.word_formation_mode == "line")
+              and cfg.iou_thr >= 0 and cfg.word_formation_mode == "line"
+              and _line_closed_form_ok(cfg))
     if vec_ok:
         # one fused pass: \r\n? -> \n equals replace('\r\n')+replace('\r'),
         # with one less full-corpus string copy (bandwidth is the 32-core limit)
@@ -783,10 +806,12 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         desk, is_blank_v, angle_v = _deskew_columns(canon)
         fast, md_fast, html_fast, json_fast = _route_masks(desk, cfg)
     else:  # nonzero margins: closed form not proven — everything per-turn
+        # four independent arrays: the vec_ok branch mutates these masks in
+        # place, so sharing one zeros array here would couple them
         fast = np.zeros(n, dtype=bool)
-        md_fast = fast
-        html_fast = fast
-        json_fast = fast
+        md_fast = np.zeros(n, dtype=bool)
+        html_fast = np.zeros(n, dtype=bool)
+        json_fast = np.zeros(n, dtype=bool)
 
     extracted = np.empty(n, dtype=object)
     spans = np.empty(n, dtype=object)

@@ -35,11 +35,25 @@ LONG_MAX = (1 << 63) - 1
 _PERSISTED: list[DataFrame] = []
 
 
+# Soft cap on live build-side caches: long-lived sessions that never call
+# release_persisted_artifacts() (notebooks, the streaming job reusing dedup
+# builders) would otherwise pin cache blocks without bound.  Crossing the cap
+# evicts the OLDEST artifact — by then its consumer has run (builders persist
+# right before the consuming self-join materializes), so dropping it costs a
+# recompute at worst, never correctness.
+_PERSISTED_CAP = 16
+
+
 def _persist_tracked(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSISTED_CAP:
+        try:
+            _PERSISTED.pop(0).unpersist()
+        except Exception:  # stopped session: registry entry is already dead
+            pass
     return df
 
 
@@ -74,10 +88,21 @@ def spread(df: DataFrame, factor: int = 2) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups by md5 digest; dup_rank orders members deterministically."""
+    """Exact duplicate groups by md5 digest; dup_rank orders members deterministically.
+
+    The corpus has no organic exact duplicates at any test scale factor, which
+    made the oracle row a vacuous 0-row match.  The contract query therefore
+    PLANTS duplicates inside the query itself (the q_html_extract pattern:
+    SQL-constructible derivations both engines replay): every doc_id % 20 == 7
+    document reappears under doc_id + 1_000_000, so the digest groupBy, the
+    n_copies > 1 gate, and the dup_rank ordering all produce verified non-empty
+    output.  Production callers run the same operator on the raw corpus."""
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.where(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    docs = base.unionByName(planted)
     h = docs.withColumn("text_md5", F.md5("text"))
     w = Window.partitionBy("text_md5")
     return (

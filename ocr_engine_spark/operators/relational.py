@@ -103,9 +103,15 @@ def q_parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: the resume protocol's shape (pending = all \\ done)."""
+    """Anti join: the resume protocol's shape (pending = all \\ done).
+
+    Scoped to orders since 2000-01-01 (the churn question a pipeline actually
+    asks) so the anti-join PRODUCES rows at every test scale factor — the
+    unfiltered spelling matched on empty output (every customer has some
+    order), which proved nothing about the anti-join path."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

@@ -237,6 +237,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, queries, k=5)
 
 
+def _with_planted_twins(emb: DataFrame, modulus: int = 25, residue: int = 3,
+                        id_offset: int = 1_000_000) -> DataFrame:
+    """Union deterministic scaled twins into an (already double-cast) embedding
+    corpus: every ``vec_id % modulus == residue`` vector reappears under
+    ``vec_id + id_offset`` with components halved.
+
+    The synthetic corpus has no organic pairs above the 0.9 cosine threshold at
+    ANY scale factor, so the near-dup oracle rows matched on empty output — a
+    vacuous check.  Scaling by 0.5 is exact in IEEE binary (mantissas are
+    unchanged), so cosine(v, v/2) evaluates to the SAME bits as cosine(v, v)
+    under the sequential fold in both engines, rounds to 1.0, and the planted
+    pair must survive the threshold filter; every cross pair still exercises
+    the reject path.  The twin keeps its label so label blocking is exercised
+    too.  Production near-dup runs the operator on the raw corpus."""
+    planted = emb.where(F.col("vec_id") % modulus == residue).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 0.5d)").alias("embedding"),
+        "label")
+    return emb.unionByName(planted)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the coarse bucket).
 
@@ -245,9 +266,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size — ``autoBroadcastJoinThreshold``/AQE pick the strategy from actual
     size stats instead (sort-merge at scale, broadcast only when genuinely tiny).
     For corpora where label blocks themselves are huge, use the bucketed
-    ``q_embedding_neardup_ivf`` scale path.
+    ``q_embedding_neardup_ivf`` scale path.  Twins are planted in-query so the
+    threshold filter is verified on non-empty output (see _with_planted_twins).
     """
-    emb = _as_double(load(spark, sf_dir, "embeddings"))
+    emb = _with_planted_twins(_as_double(load(spark, sf_dir, "embeddings")))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
                    F.col("label").alias("lbl"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
@@ -300,7 +322,13 @@ def embedding_neardup_ivf(emb: DataFrame, centroids: DataFrame,
 
 
 def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    """Bucketed near-dup under the TRAINED codebook, with twins planted in-query
+    (see _with_planted_twins).  Cosine is scale-invariant bit-for-bit under the
+    exact 0.5 scaling, so a twin lands in the SAME multi-probe buckets as its
+    original — the (label, bucket) candidate join, the dropDuplicates collapse,
+    and the verify filter are all exercised on non-empty output.  Centroids stay
+    trained on the raw corpus (training upstream of dedup, as in production)."""
+    emb = _with_planted_twins(_as_double(load(spark, sf_dir, "embeddings")))
     centroids = trained_centroids(spark, sf_dir)
     return embedding_neardup_ivf(emb, centroids, probes=2, threshold=0.9)
 

@@ -229,5 +229,31 @@ def test_pathological_configs_match_oracle():
         DEFAULT_CONFIG.override(max_seq_len=0),
         DEFAULT_CONFIG.override(placeholder_char=""),
         DEFAULT_CONFIG.override(score_thr=0.15),   # html path must disable
+        # stitch-bound edges: the 'line' closed form is only proven for
+        # 0 < y_overlap_threshold < 1 and 0 <= max_running_y_shift_degree < 90
+        DEFAULT_CONFIG.override(y_overlap_threshold=-0.5),
+        DEFAULT_CONFIG.override(y_overlap_threshold=0.0),
+        DEFAULT_CONFIG.override(y_overlap_threshold=1.0),
+        DEFAULT_CONFIG.override(y_overlap_threshold=1.5),
+        DEFAULT_CONFIG.override(max_running_y_shift_degree=-10),
+        DEFAULT_CONFIG.override(max_running_y_shift_degree=95),
     ):
         assert_frame_matches_oracle(texts, cfg)
+
+
+def test_out_of_bounds_stitch_configs_run_live_greedy():
+    """Outside the proven bounds the per-turn pipeline must produce the LIVE
+    greedy stitch's output, not lines_closed_form's: at thr<=0 the overlap
+    rejection never fires and at thr>=1 the two-line rejection never fires, so
+    adjacent lines merge into one row with a nonzero page skew."""
+    from ocr_engine_spark.kernel.pipeline import extract_turn
+
+    for thr in (-0.5, 0.0, 1.0, 1.5):
+        cfg = DEFAULT_CONFIG.override(y_overlap_threshold=thr)
+        r = extract_turn("ab cd\nef gh", cfg)
+        assert r["extracted_text"] == "ab cd ef gh", thr
+        assert r["page_skew"] != 0.0, thr
+    # inside the bounds the closed form (per-line output, zero skew) holds
+    r = extract_turn("ab cd\nef gh")
+    assert r["extracted_text"] == "ab cd\nef gh"
+    assert r["page_skew"] == 0.0
