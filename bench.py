@@ -81,6 +81,8 @@ HEADLINE = [
     "binary_features",
     "media_frames",
     "media_decode",
+    "tool_dispatch_extract",
+    "stream_dedup_parity",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)
@@ -184,7 +186,7 @@ def main() -> None:
     # (protocol + per-level overhead decomposition: BENCH/BASELINE.md)
     extraction_steady = bench_extraction(spark, BENCH_CONVS * 10)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -193,8 +195,38 @@ def main() -> None:
         "cpus": cpus,
         "extraction": extraction,
         "extraction_steady": extraction_steady,
-    }))
+    }
+    print(json.dumps(result))
+    _append_history(result)
     spark.stop()
+
+
+def _append_history(result: dict) -> None:
+    """Per-query regression line (the kernel_history.jsonl pattern): one
+    commit-stamped JSON line per bench run, so any future wall-time jump on an
+    unchanged operator is attributable (VM drift vs plan change) by replaying
+    the history instead of guessing."""
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:  # noqa: BLE001 — history is best-effort, never fail the bench
+        commit = "unknown"
+    line = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "commit": commit,
+            "sf": result["sf"], "cpus": result["cpus"],
+            "total": result["value"], "queries": result["queries"],
+            "extraction": result["extraction"],
+            "extraction_steady": result["extraction_steady"]}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "query_history.jsonl")
+    try:
+        with open(path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(line) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

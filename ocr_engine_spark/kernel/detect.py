@@ -226,12 +226,30 @@ PARSERS = (
 )
 
 
-def detect_spans(text: str, score_thr: float, iou_thr: float):
+def detect_spans(text: str, score_thr: float, iou_thr: float,
+                 declared_kind: str | None = None):
     """Full detection stage: parser vote (E4) -> score filter (F2) -> NMS (F3).
 
     Returns (fmt, spans) with spans = list[(start, end, kind, conf)] in
     confidence-suppressed, position-sorted order.
+
+    ``declared_kind`` is the S1 payload-kind dispatch (the ImageReader.read
+    analogue, /root/reference/src/utils.py:179-188: the reader trusts the
+    DECLARED input kind — extension/type — before parsing, it never sniffs
+    content): when a transcript's ``tool`` column declares the payload kind,
+    ONLY that parser runs and it wins outright — no E4 vote.  A declared
+    parser that rejects the payload (returns None, e.g. invalid tool-JSON)
+    falls back to the plain parser instead of failing the row (the permissive
+    skip-bad semantics of S4, utils.py:218-229).
     """
+    if declared_kind is not None:
+        parser = dict(PARSERS)[declared_kind]
+        cand = parser(text)
+        fmt = declared_kind
+        if cand is None:  # declared parser rejects: permissive plain fallback
+            cand, fmt = parse_plain(text), "plain"
+        passing = [s for s in cand if s[3] >= score_thr]
+        return fmt, nms_spans(passing, iou_thr)
     best_fmt, best_spans, best_count = "plain", [], -1
     for name, parser in PARSERS:
         cand = parser(text)

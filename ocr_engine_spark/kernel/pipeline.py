@@ -74,24 +74,26 @@ def _line_geometry(text: str):
     return arr, max(width, 1)
 
 
-def extract_turn(text: str, cfg: EngineConfig = DEFAULT_CONFIG):
+def extract_turn(text: str, cfg: EngineConfig = DEFAULT_CONFIG,
+                 declared_kind: str | None = None):
     """Run the full pipeline on one turn's payload.
 
     Returns a dict with extracted_text, spans (list of dicts in reading order), n_spans,
     strip_ratio, fmt, is_blank, angle — the per-turn slice of the output table
-    (FIXTURES.md §2).
+    (FIXTURES.md §2).  ``declared_kind`` is the S1 payload-kind dispatch
+    (see detect_spans): declared payloads skip the E4 vote.
     """
     raw_len = len(text) if text else 0
     canon = canonicalize(text, cfg.max_chars)
     canon, is_blank, angle = deskew(canon)
-    return _extract_prepared(canon, is_blank, angle, raw_len, cfg)
+    return _extract_prepared(canon, is_blank, angle, raw_len, cfg, declared_kind)
 
 
 def _extract_prepared(canon: str, is_blank: bool, angle: float, raw_len: int,
-                      cfg: EngineConfig):
+                      cfg: EngineConfig, declared_kind: str | None = None):
     """Pipeline tail after canonicalize+deskew — lets the batch layer hand in the
     vectorized pre-pass results instead of recomputing them per row."""
-    fmt, detected = detect_spans(canon, cfg.score_thr, cfg.iou_thr)
+    fmt, detected = detect_spans(canon, cfg.score_thr, cfg.iou_thr, declared_kind)
     empty = {
         "extracted_text": "", "spans": [], "n_spans": 0,
         "strip_ratio": 0.0, "fmt": fmt, "is_blank": is_blank, "angle": angle,
@@ -247,7 +249,7 @@ def _deskew_columns(canon: pd.Series):
     return desk, nb == 0, angle
 
 
-def _route_masks(desk: pd.Series, cfg: EngineConfig):
+def _route_masks(desk: pd.Series, cfg: EngineConfig, declared_json=None):
     """Route every row to its format closed form with ONE pass per gate
     predicate (the four per-format masks each rescanned the whole batch with
     the same contains() calls — up to 4x duplicate C-level regex work on the
@@ -263,6 +265,14 @@ def _route_masks(desk: pd.Series, cfg: EngineConfig):
     - json: JSON-ish start, no tag, no marker (plain competes in the vote);
     - all: no raw control chars, and the line-length bound that proves the E10
       token-truncation path cannot fire (cap 0 = disabled).
+
+    ``declared_json`` rows (S1 payload-kind dispatch) skip the content sniff
+    entirely: they route to the JSON closed form whenever the SAFETY gates
+    hold (ctrl/len, and tag-free so the invalid-JSON plain fallback stays in
+    its proven closed form — parse_plain's only content sensitivity is the
+    tag penalty); everything else about their content is irrelevant because
+    no other parser ever runs for them.  Declared rows failing the safety
+    gates take the per-turn dispatch path instead.
     """
     g_tag = desk.str.contains(_HTML_TAG, regex=True).to_numpy()
     g_md = desk.str.contains(_MD_GATE, regex=True).to_numpy()
@@ -280,6 +290,12 @@ def _route_masks(desk: pd.Series, cfg: EngineConfig):
     else:
         html = np.zeros(len(desk), dtype=bool)
     json_ = base & g_json & ~g_tag & ~g_md
+    if declared_json is not None and declared_json.any():
+        dispatch = declared_json & base & ~g_tag
+        plain = plain & ~declared_json
+        md = md & ~declared_json
+        html = html & ~declared_json
+        json_ = (json_ & ~declared_json) | dispatch
     return plain, md, html, json_
 
 
@@ -679,13 +695,19 @@ def _json_spans(text: str):
     return spans
 
 
-def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
+def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
+                  forced=None):
     """Closed-form JSON outputs + the exact (json vs plain) E4 vote.
 
     Returns (extracted, spans, n_spans, strip_ratio, json_wins): rows that fail
     validation or whose plain parse finds strictly more passing spans carry
     json_wins=False — the caller routes them through the PLAIN closed form
-    (exact, because the predicate excluded every other parser's triggers)."""
+    (exact, because the predicate excluded every other parser's triggers).
+
+    ``forced`` rows (S1 payload-kind dispatch) skip the E4 vote: valid JSON
+    wins outright even if the plain parse found more passing spans; invalid
+    JSON still demotes to the plain fallback (detect_spans' declared-kind
+    semantics exactly)."""
     k = len(desk)
     texts = desk.to_numpy()
     rrow, rs, re_, rnum, rline = [], [], [], [], []
@@ -731,6 +753,8 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     np.add.at(cp, lrow[(slen_p > 0) & (conf_p >= cfg.score_thr)], 1)
 
     json_wins = valid & ~(cp > cj)  # ties keep json (earlier in PARSERS)
+    if forced is not None:
+        json_wins = np.where(forced, valid, json_wins)
 
     fkeep = keep & json_wins[rrow] if len(rrow) else keep
     sub_pre = np.flatnonzero(fkeep) if len(rrow) else np.array([], int)
@@ -785,6 +809,13 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     tidx = pdf["turn_idx"].to_numpy()
     raw = pdf["text"].fillna("").astype(str).reset_index(drop=True)
     raw_len = raw.str.len().to_numpy()
+    # S1 payload-kind dispatch: an optional input column declares tool-JSON
+    # payloads, which then skip content sniffing and the E4 vote entirely
+    if "payload_kind" in pdf.columns:
+        declared_json = (
+            pdf["payload_kind"].fillna("").astype(str).to_numpy() == "json")
+    else:
+        declared_json = None
 
     # closed forms assume zero-margin span prep, that NMS keeps disjoint
     # spans (a pathological negative iou_thr suppresses even non-overlapping
@@ -804,7 +835,8 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         if cfg.max_chars:
             canon = canon.str.slice(0, cfg.max_chars)
         desk, is_blank_v, angle_v = _deskew_columns(canon)
-        fast, md_fast, html_fast, json_fast = _route_masks(desk, cfg)
+        fast, md_fast, html_fast, json_fast = _route_masks(
+            desk, cfg, declared_json)
     else:  # nonzero margins: closed form not proven — everything per-turn
         # four independent arrays: the vec_ok branch mutates these masks in
         # place, so sharing one zeros array here would couple them
@@ -836,7 +868,8 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     jpos = np.flatnonzero(json_fast)
     if len(jpos):
         j_ext, j_spans, j_n, j_ratio, json_wins = _json_outputs(
-            desk.iloc[jpos].reset_index(drop=True), raw_len[jpos], cfg)
+            desk.iloc[jpos].reset_index(drop=True), raw_len[jpos], cfg,
+            forced=None if declared_json is None else declared_json[jpos])
         jwin = jpos[json_wins]
         _fill_vectorized(jwin, [j_ext[j] for j in np.flatnonzero(json_wins)],
                          [j_spans[j] for j in np.flatnonzero(json_wins)],
@@ -875,15 +908,22 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
 
     texts = raw.to_numpy()
     fast = fast | md_fast | html_fast | json_fast
+
+    def _kind(i):  # declared payload kind rides into the per-turn dispatch
+        if declared_json is not None and declared_json[i]:
+            return "json"
+        return None
+
     if vec_ok:
         dsk = desk.to_numpy()
 
         def _slow(i):  # reuse the vectorized (exact) canonicalize+deskew
             return _extract_prepared(dsk[i], bool(is_blank_v[i]),
-                                     float(angle_v[i]), int(raw_len[i]), cfg)
+                                     float(angle_v[i]), int(raw_len[i]), cfg,
+                                     _kind(i))
     else:
         def _slow(i):
-            return extract_turn(texts[i], cfg)
+            return extract_turn(texts[i], cfg, _kind(i))
 
     for i in np.flatnonzero(~fast):
         r = _slow(i)

@@ -123,8 +123,16 @@ def plan_num_partitions(df: DataFrame, default_parallelism: int,
 def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                         num_partitions: int | None = None,
                         salt_block: int = DEFAULT_SALT_BLOCK,
-                        passthrough: tuple[str, ...] = ()) -> DataFrame:
+                        passthrough: tuple[str, ...] = (),
+                        dispatch_tool_json: bool = False) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted table.
+
+    ``dispatch_tool_json=True`` enables the S1 payload-kind dispatch
+    (/root/reference/src/utils.py:179-188 analogue): turns whose ``tool``
+    column is non-null are declared tool-JSON payloads and the kernel parses
+    them on the JSON path directly — no content sniffing, no E4 vote — with a
+    permissive plain fallback for invalid payloads (S4).  The declared kind
+    travels as a ``payload_kind`` column consumed (not emitted) by the kernel.
 
     Pure DataFrame -> DataFrame (lazy); the caller picks the action/sink.
     ``passthrough`` columns of the input ride through the kernel unchanged and are
@@ -154,6 +162,10 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     """
     cols = ["conv_id", "turn_idx", "text", *passthrough]
     pruned = df.select(*cols)  # column pruning before the UDF
+    if dispatch_tool_json:
+        pruned = pruned.withColumn(
+            "payload_kind",
+            F.when(F.col("tool").isNotNull(), F.lit("json")))
     if num_partitions:
         pruned = pruned.repartition(num_partitions, salted_key(salt_block))
     if not passthrough:

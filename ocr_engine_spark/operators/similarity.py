@@ -160,16 +160,29 @@ def train_centroids(corpus: DataFrame, k: int = 8, iterations: int = 3,
         cents, "centroid_id long, embedding array<double>")
 
 
-_TRAINED_CACHE: dict = {}  # (sf_dir, k, T) -> plain centroid rows (no session refs)
+# (sf_dir, k, T, table mtime) -> plain centroid rows (no session refs)
+_TRAINED_CACHE: dict = {}
+
+
+def _emb_mtime(sf_dir: str) -> float:
+    import os
+
+    try:
+        return os.path.getmtime(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        return -1.0
 
 
 def trained_centroids(spark: SparkSession, sf_dir: str, k: int = 8,
                       iterations: int = 3) -> DataFrame:
     """Trained centroids for the contract embeddings table, cached per (sf_dir,
-    k, T) as PLAIN rows — every IVF contract query shares one training run, and
-    the cache stays valid across SparkSessions (a cached DataFrame would hold a
-    reference to a possibly-stopped session)."""
-    key = (sf_dir, k, iterations)
+    k, T, table-mtime) as PLAIN rows — every IVF contract query shares one
+    training run, and the cache stays valid across SparkSessions (a cached
+    DataFrame would hold a reference to a possibly-stopped session).  The
+    mtime key invalidates the codebook if the table under ``sf_dir`` is
+    rewritten within a process; an UNCHANGED path+mtime is assumed to mean
+    unchanged data (parquet writers bump mtime on rewrite)."""
+    key = (sf_dir, k, iterations, _emb_mtime(sf_dir))
     if key not in _TRAINED_CACHE:
         emb = load(spark, sf_dir, "embeddings")
         cents = train_centroids(emb, k=k, iterations=iterations)

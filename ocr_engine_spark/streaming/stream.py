@@ -163,3 +163,65 @@ def _schema_with_ts():
 
     return StructType(
         list(EXTRACTED_SCHEMA.fields) + [StructField("ts", TimestampType())])
+
+
+_STREAM_PARITY_DIRS: dict[str, str] = {}  # per-process synthesized stream sources
+
+
+def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup parity, batch-comparable (oracle-grade evidence for
+    the streaming surface, not just unit tests).
+
+    The documents corpus — with the same planted duplicates as
+    ``q_exact_dedup`` (doc_id % 20 == 7 reappears under doc_id + 1_000_000) —
+    is written once per process as a multi-file parquet transcripts directory,
+    then REPLAYED THROUGH THE REAL STREAMING PATH: incremental file source
+    (2 files per trigger -> duplicates cross micro-batch boundaries), a
+    watermark, ``dropDuplicatesWithinWatermark`` on the payload digest, memory
+    sink, ``availableNow`` trigger (run-to-completion, deterministic).
+
+    WHICH row survives per digest depends on arrival order, so the query
+    returns the order-independent invariant the batch twin can verify: one
+    output row per distinct digest with n_rows == 1.  Any dedup failure
+    surfaces as n_rows > 1 (hash mismatch), any lost digest as a row-count
+    mismatch vs the batch DISTINCT oracle."""
+    import tempfile
+    import uuid
+
+    if sf_dir not in _STREAM_PARITY_DIRS:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"),
+        )
+        planted = docs.where(F.col("doc_id") % 20 == 7).select(
+            (F.col("doc_id") + 1_000_000).cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"),
+        )
+        src = tempfile.mkdtemp(
+            prefix="ocr_engine_stream_parity_") + "/transcripts"
+        base.unionByName(planted).repartition(8).write.parquet(src)
+        _STREAM_PARITY_DIRS[sf_dir] = src
+    src = _STREAM_PARITY_DIRS[sf_dir]
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    deduped = dedup_stream(stream).select("text_md5")
+    sink = f"stream_parity_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory").queryName(sink)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_rows"))
+    )

@@ -1,0 +1,81 @@
+"""S1 payload-kind dispatch (declared tool-JSON payloads skip content sniffing
+and the E4 vote — the ImageReader.read declared-kind analogue,
+/root/reference/src/utils.py:179-188; permissive fallback per S4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ocr_engine_spark.config import DEFAULT_CONFIG
+from ocr_engine_spark.kernel.pipeline import extract_frame, extract_turn
+
+PAYLOADS = [
+    '{"result": "hello world"}',            # valid tool-JSON (the contract case)
+    '{"a": "<p>one two</p>", "b": "<p>three four</p>"}',  # vote != dispatch
+    '[1, 2]\nwords here\nmore words',       # invalid JSON -> plain fallback
+    '{"a": 1}',                             # numeric-only JSON
+    "plain words only",                     # declared json but not JSON at all
+    '{"md": "- item [x](y) **b**"}',        # markdown triggers inside values
+    '{"esc": "line\\nbreak tab\\there"}',   # escape decode on the declared path
+    "",                                     # empty payload
+    '{"ws": "   "}',                        # whitespace-only value drops (F7)
+]
+
+
+def test_declared_json_wins_without_vote():
+    """A valid JSON payload whose content the E4 vote would give to the HTML
+    parser must stay on the JSON path when the kind is declared."""
+    p = '{"a": "<p>one two</p>", "b": "<p>three four</p>"}'
+    assert extract_turn(p)["fmt"] == "html"  # the content vote's pick
+    r = extract_turn(p, declared_kind="json")
+    assert r["fmt"] == "json"
+    assert r["extracted_text"] == "<p>one two</p> <p>three four</p>"
+
+
+def test_declared_json_invalid_falls_back_to_plain():
+    """Declared parser rejecting the payload -> permissive plain fallback
+    (S4 skip-bad), not a failure."""
+    r = extract_turn("[1, 2]\nwords here\nmore words", declared_kind="json")
+    assert r["fmt"] == "plain"
+    assert r["extracted_text"] == "[1, 2]\nwords here\nmore words"
+
+
+def _frame(texts, declared):
+    return pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": np.arange(len(texts), dtype="int32"),
+        "text": texts,
+        "payload_kind": ["json" if d else None for d in declared],
+    })
+
+
+def _assert_batch_matches_per_turn(cfg):
+    texts = PAYLOADS * 2
+    declared = [True] * len(PAYLOADS) + [False] * len(PAYLOADS)
+    out = extract_frame(_frame(texts, declared), cfg)
+    for i, (t, d) in enumerate(zip(texts, declared)):
+        want = extract_turn(t, cfg, "json" if d else None)
+        row = out.iloc[i]
+        assert row["extracted_text"] == want["extracted_text"], (i, t)
+        assert row["fmt"] == want["fmt"], (i, t)
+        assert list(row["spans"]) == want["spans"], (i, t)
+        assert float(row["strip_ratio"]) == want["strip_ratio"], (i, t)
+
+
+def test_batch_dispatch_matches_per_turn_default_config():
+    _assert_batch_matches_per_turn(DEFAULT_CONFIG)
+
+
+def test_batch_dispatch_matches_per_turn_non_vectorized_config():
+    # nonzero margins disable every closed form -> the per-turn loop must
+    # still honor the declared kind
+    _assert_batch_matches_per_turn(
+        DEFAULT_CONFIG.override(extend_span_start=0.1, extend_span_end=0.05))
+
+
+def test_missing_payload_kind_column_means_no_dispatch():
+    pdf = _frame(PAYLOADS, [False] * len(PAYLOADS)).drop(columns=["payload_kind"])
+    out = extract_frame(pdf)
+    for i, t in enumerate(PAYLOADS):
+        assert out.iloc[i]["fmt"] == extract_turn(t)["fmt"]
