@@ -45,6 +45,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "embedding_neardup", "binary_features", "manifest_extract", "explode_parts",
     "html_extract", "markdown_extract", "kmeans_centroids", "media_decode",
     "event_sessions", "event_rolling", "tfidf", "dedup_canonical",
+    "tool_dispatch_extract", "stream_dedup_parity",
 ])
 def test_query_matches_oracle(spark, entrymod, duck, name):
     from tools.check_contract import compare
@@ -59,6 +60,28 @@ def test_query_matches_oracle(spark, entrymod, duck, name):
 def test_rows_only_queries_run(spark, entrymod, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_lsh_pairs_artifact_written_once(spark, entrymod):
+    """materialized_lsh_pairs is a write-once checkpoint: repeated consumers in
+    one process read the SAME parquet artifact instead of rebuilding the
+    signature -> band -> verify pipeline."""
+    from ocr_engine_spark.operators import dedup
+
+    dedup.materialized_lsh_pairs(spark, SF_DIR, jaccard_threshold=0.5,
+                                 family="md5")
+    paths_before = dict(dedup._PAIRS_ARTIFACT)
+    df = dedup.materialized_lsh_pairs(spark, SF_DIR, jaccard_threshold=0.5,
+                                      family="md5")
+    assert dict(dedup._PAIRS_ARTIFACT) == paths_before  # no rebuild
+    # the artifact IS the pairs table the direct builder would produce
+    docs = dedup.spread(
+        dedup.load(spark, SF_DIR, "documents").select("doc_id", "text"))
+    direct = dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, family="md5", persist=False)
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
 
 
 def test_every_query_has_a_value_oracle():
