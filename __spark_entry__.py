@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ocr_engine_spark.operators import (  # noqa: E402
-    dedup, documents, multimodal, relational, similarity, text_analysis,
+    dedup, documents, multimodal, relational, similarity, text_analysis, visualize,
 )
 
 
@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # — never driver-checked before r04 / new / changed this round —
+        "span_svg": visualize.q_span_svg,
         "media_decode": multimodal.q_media_decode,
         "embedding_neardup": similarity.q_embedding_neardup,
         "embedding_neardup_ivf": similarity.q_embedding_neardup_ivf,
@@ -357,6 +358,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 + length(source) AS INTEGER) AS start,
                    CAST(5 + length(source) + length(text) AS INTEGER) AS "end",
                    'markdown' AS kind, text AS span_text
+            FROM base
+        """,
+        # S10 visualization sink: the SVG rendering of the markdown payload's
+        # span geometry (two rows per doc, reading order = row order).  The
+        # oracle rebuilds the byte-exact SVG from the markdown closed forms
+        # (span0 = [2, 2+len(source)), span1 = [5+len(source), +len(text))),
+        # CHAR_W=8 / ROW_H=18 / BOX_H=16 pseudo-geometry, XML-escaped labels.
+        "span_svg": """
+            WITH base AS (
+              SELECT doc_id, length(source) AS ls, length(text) AS lt,
+                     replace(replace(replace(source, '&', '&amp;'), '<', '&lt;'),
+                             '>', '&gt;') AS esrc,
+                     replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                             '>', '&gt;') AS etxt
+              FROM documents)
+            SELECT doc_id,
+                   '<svg xmlns="http://www.w3.org/2000/svg" width="'
+                   || CAST(8 * (5 + ls + lt) AS VARCHAR) || '" height="36">'
+                   || '<g><rect x="16" y="0" width="' || CAST(8 * ls AS VARCHAR)
+                   || '" height="16" class="markdown"/><text x="18" y="12">'
+                   || esrc || '</text></g>'
+                   || '<g><rect x="' || CAST(8 * (5 + ls) AS VARCHAR)
+                   || '" y="18" width="' || CAST(8 * lt AS VARCHAR)
+                   || '" height="16" class="markdown"/><text x="'
+                   || CAST(8 * (5 + ls) + 2 AS VARCHAR) || '" y="30">'
+                   || etxt || '</text></g></svg>' AS svg
             FROM base
         """,
         "explode_parts": r"""

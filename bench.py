@@ -83,6 +83,7 @@ HEADLINE = [
     "media_decode",
     "tool_dispatch_extract",
     "stream_dedup_parity",
+    "span_svg",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)
