@@ -79,7 +79,14 @@ def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     would serialize the whole hash computation onto one task.  Conditional: when the
     scan already has enough splits (the cluster-scale case — thousands of byte-bounded
     splits), this is a no-op, so a well-laid-out source never pays a gratuitous
-    full-corpus shuffle."""
+    full-corpus shuffle.
+
+    Caveat the guard cannot see: byte-range splits beyond the file's ROW GROUP count
+    are empty (a parquet split only reads row groups whose start offset falls inside
+    it), so a file with giant row groups can report many partitions while the scan
+    effectively runs on a handful of tasks.  Parallelism through this no-op is
+    therefore bounded by row-group granularity — lay out hash-heavy corpora with
+    small row groups (our sinks use 8192 rows), as tools/bench_cluster.py does."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
