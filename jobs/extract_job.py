@@ -43,6 +43,10 @@ def main() -> None:
                     help="checkpoint granularity; cluster-scale: O(10k)")
     ap.add_argument("--salt-block", type=int, default=64,
                     help="turns of one conversation per salt bucket (skew bound)")
+    ap.add_argument("--wave-buckets", type=int, default=None,
+                    help="commit the run in waves of this many buckets (durable "
+                         "checkpoint per wave; a crash loses at most one wave). "
+                         "Default: single-wave (fastest, run-level durability)")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[N] cores; 0 = use existing/spark-submit session")
     ap.add_argument("--word-formation-mode", default=None,
@@ -80,7 +84,8 @@ def main() -> None:
 
     summary = run_extraction(
         spark, transcripts, args.output, run_id=args.run_id,
-        n_buckets=args.n_buckets, salt_block=args.salt_block, cfg=cfg)
+        n_buckets=args.n_buckets, salt_block=args.salt_block, cfg=cfg,
+        wave_buckets=args.wave_buckets)
     print(json.dumps(summary))
     spark.stop()
 

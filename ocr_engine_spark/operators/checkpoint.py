@@ -11,6 +11,9 @@ Protocol (SURVEY.md §4.2.3):
   AFTER the bucket's data, so a crash between the two re-runs that bucket.
 - Resume = anti-join pending buckets against the done-set — only undone buckets are
   recomputed (left_anti on p).
+- Spark's job commit is all-or-nothing, so durability granularity == job
+  granularity: ``wave_buckets`` splits a run into per-wave data+metrics commits
+  (a crash loses at most one in-flight wave; see run_extraction's docstring).
 
 Metrics schema follows FIXTURES.md §3 run_metrics: the graft of the reference's
 per-stage Timer instrumentation (/root/reference/src/utils.py:45-56) and manifest
@@ -72,11 +75,23 @@ def done_buckets(spark: SparkSession, metrics_path: str) -> set[int]:
 def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                    run_id: str, n_buckets: int = 32,
                    cfg: EngineConfig = DEFAULT_CONFIG,
-                   salt_block: int = DEFAULT_SALT_BLOCK) -> dict:
+                   salt_block: int = DEFAULT_SALT_BLOCK,
+                   wave_buckets: int | None = None) -> dict:
     """Checkpointed, resumable extraction run.
 
     Layout: {out_dir}/extracted/p=*/   (data, dynamic-overwrite by p)
             {out_dir}/run_metrics/p=*/ (lineage rows, written after data)
+
+    ``wave_buckets``: commit granularity.  Default (None) processes every
+    pending bucket in one data write + one metrics write — fastest, but
+    Spark's job commit is all-or-nothing, so a mid-run crash durably keeps
+    NOTHING and resume recomputes the whole run.  With ``wave_buckets=k`` the
+    pending buckets are processed in waves of k, each wave its own
+    data-then-metrics commit: a crash loses at most the in-flight wave and
+    resume restarts exactly there.  Each wave re-scans the input (the bucket
+    id is a hash, not a pushable predicate), so at cluster scale either size
+    waves to cluster capacity (few waves) or seed from a p-partitioned
+    staging table (``write_bucketed``) so each wave's scan prunes.
 
     Returns a summary dict {run_id, buckets_total, buckets_done_before, buckets_run}.
     """
@@ -86,10 +101,35 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     done = done_buckets(spark, metrics_path)
     bucketed = with_bucket(transcripts.select("conv_id", "turn_idx", "text"),
                            n_buckets, salt_block)
-    pending = bucketed
-    if done:
-        pending = bucketed.where(~F.col("p").isin(sorted(done)))  # resume anti-filter
+    pending_ids = [p for p in range(n_buckets) if p not in done]
+    if wave_buckets and wave_buckets < len(pending_ids):
+        waves = [pending_ids[i:i + wave_buckets]
+                 for i in range(0, len(pending_ids), wave_buckets)]
+    else:
+        waves = [pending_ids] if pending_ids else []
+    for wave in waves:
+        pending = bucketed
+        if len(wave) < n_buckets:
+            pending = bucketed.where(F.col("p").isin(wave))
+        _run_wave(spark, pending, run_id, len(wave), cfg,
+                  data_path, metrics_path)
 
+    ran = n_buckets - len(done)
+    return {
+        "run_id": run_id,
+        "buckets_total": n_buckets,
+        "buckets_done_before": len(done),
+        "buckets_run": ran,
+        "data_path": data_path,
+        "metrics_path": metrics_path,
+    }
+
+
+def _run_wave(spark: SparkSession, pending: DataFrame, run_id: str,
+              n_partitions: int, cfg: EngineConfig,
+              data_path: str, metrics_path: str) -> None:
+    """One durable commit unit: extract `pending`, write its data, then its
+    metrics (the done-markers, strictly after the data)."""
     started = time.time()
     if not pending.isEmpty():  # short-circuit probe, no extra full-count job
         from pyspark.sql.types import IntegerType, StructField, StructType
@@ -100,7 +140,7 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         from pyspark import StorageLevel
 
         extracted = (
-            pending.repartition(n_buckets, "p")
+            pending.repartition(n_partitions, "p")
             .mapInPandas(passthrough_wrapper(_extract_batches(cfg), ["p"]),
                          schema=out_schema)
         )
@@ -140,15 +180,5 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                 ), metrics_path, "p")
         finally:
             extracted.unpersist()
-
-    ran = n_buckets - len(done)
-    return {
-        "run_id": run_id,
-        "buckets_total": n_buckets,
-        "buckets_done_before": len(done),
-        "buckets_run": ran,
-        "data_path": data_path,
-        "metrics_path": metrics_path,
-    }
 
 

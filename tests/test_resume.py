@@ -114,3 +114,51 @@ def test_bucket_assignment_is_deterministic(spark, transcripts_df):
     a = with_bucket(transcripts_df, N_BUCKETS).select("conv_id", "turn_idx", "p")
     b = with_bucket(transcripts_df, N_BUCKETS).select("conv_id", "turn_idx", "p")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_wave_mode_output_identical(spark, transcripts_df, tmp_path):
+    """wave_buckets changes commit granularity, never results: data and
+    done-markers match the single-wave run bucket for bucket."""
+    s1 = run_extraction(spark, transcripts_df, str(tmp_path / "single"), "rW",
+                        n_buckets=N_BUCKETS)
+    s2 = run_extraction(spark, transcripts_df, str(tmp_path / "waved"), "rW",
+                        n_buckets=N_BUCKETS, wave_buckets=3)
+    assert s2["buckets_run"] == N_BUCKETS
+    assert _read_sorted(spark, s2["data_path"]) == _read_sorted(spark, s1["data_path"])
+    assert done_buckets(spark, s2["metrics_path"]) == set(range(N_BUCKETS))
+
+
+def test_wave_mode_crash_keeps_committed_waves(spark, transcripts_df, tmp_path,
+                                               monkeypatch):
+    """A REAL mid-run failure (the commit call itself dies during wave 2) must
+    durably keep wave 1 — resume then recomputes only what never committed."""
+    import ocr_engine_spark.operators.checkpoint as cp
+
+    out = str(tmp_path / "crashy")
+    want = _read_sorted(
+        spark,
+        run_extraction(spark, transcripts_df, str(tmp_path / "baseline"), "rC",
+                       n_buckets=N_BUCKETS)["data_path"])
+
+    real_write = cp.overwrite_partitions
+    calls = {"n": 0}
+
+    def dying_write(df, target, partition_col, flavor="auto"):
+        calls["n"] += 1
+        if calls["n"] == 3:  # wave 1 = calls 1 (data) + 2 (metrics); die in wave 2
+            raise RuntimeError("injected executor loss")
+        return real_write(df, target, partition_col, flavor)
+
+    monkeypatch.setattr(cp, "overwrite_partitions", dying_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_extraction(spark, transcripts_df, out, "rC",
+                       n_buckets=N_BUCKETS, wave_buckets=3)
+    monkeypatch.setattr(cp, "overwrite_partitions", real_write)
+
+    committed = done_buckets(spark, f"{out}/run_metrics")
+    assert committed == {0, 1, 2}  # exactly wave 1 survived the crash
+
+    resumed = run_extraction(spark, transcripts_df, out, "rC",
+                             n_buckets=N_BUCKETS, wave_buckets=3)
+    assert resumed["buckets_done_before"] == 3
+    assert _read_sorted(spark, resumed["data_path"]) == want
