@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ocr_engine_spark.operators import (  # noqa: E402
     dedup, documents, multimodal, relational, similarity, text_analysis, visualize,
 )
+from ocr_engine_spark.operators.dedup import (  # noqa: E402
+    PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE,
+)
+from ocr_engine_spark.operators.similarity import (  # noqa: E402
+    TWIN_MOD, TWIN_OFFSET, TWIN_RESIDUE,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -297,11 +303,12 @@ def oracle_sql() -> dict[str, str]:
         # the streaming dedup surface, batch-verified: one row per distinct
         # digest of the planted-duplicate corpus, n_rows == 1 iff the stream
         # dropped every duplicate (see streaming.stream.q_stream_dedup_parity)
-        "stream_dedup_parity": """
+        "stream_dedup_parity": f"""
             WITH corpus AS (
               SELECT text FROM documents
               UNION ALL
-              SELECT text FROM documents WHERE doc_id % 20 = 7)
+              SELECT text FROM documents
+              WHERE doc_id % {PLANT_MOD} = {PLANT_RESIDUE})
             SELECT md5(text) AS text_md5, CAST(1 AS INTEGER) AS n_rows
             FROM corpus GROUP BY md5(text)
         """,
@@ -633,12 +640,12 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY weight DESC, tok) AS INTEGER) AS rank
               FROM wgt) WHERE rank <= 3
         """,
-        "exact_dedup": """
+        "exact_dedup": f"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id + 1000000 AS doc_id, text FROM documents
-              WHERE doc_id % 20 = 7),
+              SELECT doc_id + {PLANT_OFFSET} AS doc_id, text FROM documents
+              WHERE doc_id % {PLANT_MOD} = {PLANT_RESIDUE}),
             h AS (SELECT doc_id, md5(text) AS text_md5 FROM corpus),
             g AS (SELECT doc_id, text_md5,
                          count(*) OVER (PARTITION BY text_md5) AS n_copies,
@@ -915,9 +922,9 @@ def oracle_sql() -> dict[str, str]:
             e AS (
               SELECT vec_id, emb, label FROM e0
               UNION ALL
-              SELECT vec_id + 1000000 AS vec_id, [x * 0.5 for x in emb] AS emb,
-                     label
-              FROM e0 WHERE vec_id % 25 = 3)
+              SELECT vec_id + {TWIN_OFFSET} AS vec_id,
+                     [x * 0.5 for x in emb] AS emb, label
+              FROM e0 WHERE vec_id % {TWIN_MOD} = {TWIN_RESIDUE})
             SELECT id_a, id_b, score FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS score
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -931,9 +938,9 @@ def oracle_sql() -> dict[str, str]:
             ec AS (
               SELECT vec_id, emb, label FROM e
               UNION ALL
-              SELECT vec_id + 1000000 AS vec_id, [x * 0.5 for x in emb] AS emb,
-                     label
-              FROM e WHERE vec_id % 25 = 3),
+              SELECT vec_id + {TWIN_OFFSET} AS vec_id,
+                     [x * 0.5 for x in emb] AS emb, label
+              FROM e WHERE vec_id % {TWIN_MOD} = {TWIN_RESIDUE}),
             assigned AS (
               SELECT vec_id, emb, label, centroid_id FROM (
                 SELECT v.vec_id, v.emb, v.label, c.centroid_id,

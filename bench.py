@@ -194,6 +194,16 @@ def main() -> None:
     timings["ivf_train_codebook"] = round(time.perf_counter() - t0, 3)
     spark.catalog.clearCache()
 
+    # The stream-parity replay source (multi-file parquet synthesized from the
+    # documents corpus, built once per process) is charged explicitly too —
+    # otherwise rep 1 pays the build and best-of-2 reports only the cached rep.
+    from ocr_engine_spark.streaming.stream import ensure_stream_parity_source
+
+    t0 = time.perf_counter()
+    ensure_stream_parity_source(spark, sf_dir)
+    timings["stream_parity_source"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+
     # Per-query wall time = BEST OF 2 back-to-back reps: this shared VM drifts
     # 4-6x on single-shot readings (BENCH/dedup_regression.md pinned exactly
     # that for r03), and the second rep also amortizes one-time plan analysis.

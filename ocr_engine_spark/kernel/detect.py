@@ -224,6 +224,7 @@ PARSERS = (
     ("json", parse_json),
     ("plain", parse_plain),
 )
+_PARSER_BY_KIND = dict(PARSERS)
 
 
 def detect_spans(text: str, score_thr: float, iou_thr: float,
@@ -242,14 +243,17 @@ def detect_spans(text: str, score_thr: float, iou_thr: float,
     falls back to the plain parser instead of failing the row (the permissive
     skip-bad semantics of S4, utils.py:218-229).
     """
-    if declared_kind is not None:
-        parser = dict(PARSERS)[declared_kind]
+    parser = _PARSER_BY_KIND.get(declared_kind) if declared_kind else None
+    if parser is not None:
         cand = parser(text)
         fmt = declared_kind
         if cand is None:  # declared parser rejects: permissive plain fallback
             cand, fmt = parse_plain(text), "plain"
         passing = [s for s in cand if s[3] >= score_thr]
         return fmt, nms_spans(passing, iou_thr)
+    # an UNKNOWN declared kind (future payload enum, upstream typo) is a bad
+    # declaration, not a bad row: fall through to the content vote (S4
+    # permissive semantics) instead of raising and killing the Arrow batch
     best_fmt, best_spans, best_count = "plain", [], -1
     for name, parser in PARSERS:
         cand = parser(text)

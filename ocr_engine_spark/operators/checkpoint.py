@@ -95,6 +95,10 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
 
     Returns a summary dict {run_id, buckets_total, buckets_done_before, buckets_run}.
     """
+    if wave_buckets is not None and wave_buckets < 1:
+        # a non-positive wave size would make `waves` empty and silently skip
+        # every bucket while still returning a success summary
+        raise ValueError(f"wave_buckets must be >= 1, got {wave_buckets}")
     data_path = os.path.join(out_dir, "extracted")
     metrics_path = os.path.join(out_dir, "run_metrics")
 

@@ -26,6 +26,14 @@ from ocr_engine_spark.operators.relational import load
 
 LONG_MAX = (1 << 63) - 1
 
+# Planted-duplicate recipe shared by every de-vacuated oracle query: each
+# doc_id % PLANT_MOD == PLANT_RESIDUE document reappears under
+# doc_id + PLANT_OFFSET.  The SQL oracles in __spark_entry__.py interpolate
+# THESE constants, so engine and oracle cannot drift apart.
+PLANT_MOD = 20
+PLANT_RESIDUE = 7
+PLANT_OFFSET = 1_000_000
+
 # Persisted build-side artifacts (LSH signatures, ppjoin prefixes/sets): the
 # builders return LAZY DataFrames, so there is no natural in-function unpersist
 # point — the cache must outlive the call and be released by the caller.  Every
@@ -107,8 +115,8 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     base = load(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = base.where(F.col("doc_id") % 20 == 7).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    planted = base.where(F.col("doc_id") % PLANT_MOD == PLANT_RESIDUE).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text")
     docs = base.unionByName(planted)
     h = docs.withColumn("text_md5", F.md5("text"))
     w = Window.partitionBy("text_md5")
@@ -305,7 +313,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 8,
 
 
 def _table_mtime(sf_dir: str, name: str) -> float:
-    """Cache-invalidation key: mtime of the backing parquet (file or directory)."""
+    """Cache-invalidation key: mtime of the backing parquet (file or directory).
+    Shared by every per-process artifact cache (dedup pairs, trained centroids,
+    stream-parity sources) so corpus rewrites invalidate them all the same way."""
     import os
 
     try:
@@ -340,12 +350,20 @@ def materialized_lsh_pairs(spark: SparkSession, sf_dir: str,
     key = (sf_dir, jaccard_threshold, family, _table_mtime(sf_dir, "documents"))
     path = _PAIRS_ARTIFACT.get(key)
     if path is None:
+        # release only the caches THIS build registers: a global release here
+        # would also unpersist unrelated builders a caller still holds
+        before = {id(x) for x in _PERSISTED}
         docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
         pairs = minhash_lsh_pairs(
             docs, jaccard_threshold=jaccard_threshold, family=family)
         path = tempfile.mkdtemp(prefix="ocr_engine_lsh_pairs_") + "/pairs.parquet"
         pairs.write.mode("overwrite").parquet(path)
-        release_persisted_artifacts()
+        for df_ in [x for x in _PERSISTED if id(x) not in before]:
+            try:
+                df_.unpersist()
+            except Exception:  # session already stopped
+                pass
+        _PERSISTED[:] = [x for x in _PERSISTED if id(x) in before]
         _PAIRS_ARTIFACT[key] = path
     return spark.read.parquet(path)
 

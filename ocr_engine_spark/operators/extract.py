@@ -161,11 +161,15 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     sites should pass ``num_partitions`` explicitly to get the salted exchange.
     """
     cols = ["conv_id", "turn_idx", "text", *passthrough]
-    pruned = df.select(*cols)  # column pruning before the UDF
     if dispatch_tool_json:
-        pruned = pruned.withColumn(
+        # derive the declared kind BEFORE pruning: `tool` need not (and should
+        # not have to) ride in passthrough for dispatch to work
+        pruned = df.withColumn(
             "payload_kind",
-            F.when(F.col("tool").isNotNull(), F.lit("json")))
+            F.when(F.col("tool").isNotNull(), F.lit("json"))
+        ).select(*cols, "payload_kind")
+    else:
+        pruned = df.select(*cols)  # column pruning before the UDF
     if num_partitions:
         pruned = pruned.repartition(num_partitions, salted_key(salt_block))
     if not passthrough:

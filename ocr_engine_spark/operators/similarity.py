@@ -165,12 +165,9 @@ _TRAINED_CACHE: dict = {}
 
 
 def _emb_mtime(sf_dir: str) -> float:
-    import os
+    from ocr_engine_spark.operators.dedup import _table_mtime
 
-    try:
-        return os.path.getmtime(f"{sf_dir}/embeddings.parquet")
-    except OSError:
-        return -1.0
+    return _table_mtime(sf_dir, "embeddings")
 
 
 def trained_centroids(spark: SparkSession, sf_dir: str, k: int = 8,
@@ -250,8 +247,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, queries, k=5)
 
 
-def _with_planted_twins(emb: DataFrame, modulus: int = 25, residue: int = 3,
-                        id_offset: int = 1_000_000) -> DataFrame:
+# Planted-twin recipe for the embedding near-dup oracles; the SQL oracles in
+# __spark_entry__.py interpolate THESE constants so engine and oracle cannot
+# drift apart.
+TWIN_MOD = 25
+TWIN_RESIDUE = 3
+TWIN_OFFSET = 1_000_000
+
+
+def _with_planted_twins(emb: DataFrame, modulus: int = TWIN_MOD,
+                        residue: int = TWIN_RESIDUE,
+                        id_offset: int = TWIN_OFFSET) -> DataFrame:
     """Union deterministic scaled twins into an (already double-cast) embedding
     corpus: every ``vec_id % modulus == residue`` vector reappears under
     ``vec_id + id_offset`` with components halved.

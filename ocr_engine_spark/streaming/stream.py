@@ -165,30 +165,24 @@ def _schema_with_ts():
         list(EXTRACTED_SCHEMA.fields) + [StructField("ts", TimestampType())])
 
 
-_STREAM_PARITY_DIRS: dict[str, str] = {}  # per-process synthesized stream sources
+# per-process synthesized stream sources, keyed (sf_dir, documents mtime) so a
+# corpus rewrite under sf_dir invalidates the synthesized source like every
+# other artifact cache (dedup._table_mtime)
+_STREAM_PARITY_DIRS: dict[tuple, str] = {}
 
 
-def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact-dedup parity, batch-comparable (oracle-grade evidence for
-    the streaming surface, not just unit tests).
-
-    The documents corpus — with the same planted duplicates as
-    ``q_exact_dedup`` (doc_id % 20 == 7 reappears under doc_id + 1_000_000) —
-    is written once per process as a multi-file parquet transcripts directory,
-    then REPLAYED THROUGH THE REAL STREAMING PATH: incremental file source
-    (2 files per trigger -> duplicates cross micro-batch boundaries), a
-    watermark, ``dropDuplicatesWithinWatermark`` on the payload digest, memory
-    sink, ``availableNow`` trigger (run-to-completion, deterministic).
-
-    WHICH row survives per digest depends on arrival order, so the query
-    returns the order-independent invariant the batch twin can verify: one
-    output row per distinct digest with n_rows == 1.  Any dedup failure
-    surfaces as n_rows > 1 (hash mismatch), any lost digest as a row-count
-    mismatch vs the batch DISTINCT oracle."""
+def ensure_stream_parity_source(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize (once per process per corpus mtime) the multi-file parquet
+    transcripts directory the streaming-dedup parity query replays: the
+    documents corpus with the same planted duplicates as ``q_exact_dedup``.
+    Factored out so bench.py can charge the build as an explicit artifact row
+    instead of hiding it inside a best-of-reps minimum."""
     import tempfile
-    import uuid
 
-    if sf_dir not in _STREAM_PARITY_DIRS:
+    from ocr_engine_spark.operators.dedup import _table_mtime
+
+    cache_key = (sf_dir, _table_mtime(sf_dir, "documents"))
+    if cache_key not in _STREAM_PARITY_DIRS:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         base = docs.select(
             F.col("doc_id").cast("string").alias("conv_id"),
@@ -198,8 +192,12 @@ def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("tool"),
             F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"),
         )
-        planted = docs.where(F.col("doc_id") % 20 == 7).select(
-            (F.col("doc_id") + 1_000_000).cast("string").alias("conv_id"),
+        from ocr_engine_spark.operators.dedup import (
+            PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE)
+
+        planted = docs.where(
+            F.col("doc_id") % PLANT_MOD == PLANT_RESIDUE).select(
+            (F.col("doc_id") + PLANT_OFFSET).cast("string").alias("conv_id"),
             F.lit(0).cast("int").alias("turn_idx"),
             F.lit("user").alias("role"),
             F.col("text"),
@@ -209,9 +207,31 @@ def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = tempfile.mkdtemp(
             prefix="ocr_engine_stream_parity_") + "/transcripts"
         base.unionByName(planted).repartition(8).write.parquet(src)
-        _STREAM_PARITY_DIRS[sf_dir] = src
-    src = _STREAM_PARITY_DIRS[sf_dir]
+        _STREAM_PARITY_DIRS[cache_key] = src
+    return _STREAM_PARITY_DIRS[cache_key]
 
+
+def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup parity, batch-comparable (oracle-grade evidence for
+    the streaming surface, not just unit tests).
+
+    The synthesized corpus (ensure_stream_parity_source) is REPLAYED THROUGH
+    THE REAL STREAMING PATH: incremental file source (2 files per trigger ->
+    duplicates cross micro-batch boundaries), a watermark,
+    ``dropDuplicatesWithinWatermark`` on the payload digest, memory sink,
+    ``availableNow`` trigger (run-to-completion, deterministic).
+
+    WHICH row survives per digest depends on arrival order, so the query
+    returns the order-independent invariant the batch twin can verify: one
+    output row per distinct digest with n_rows == 1.  Any dedup failure
+    surfaces as n_rows > 1 (hash mismatch), any lost digest as a row-count
+    mismatch vs the batch DISTINCT oracle.  The grouped invariant is drained
+    to the driver (one small row per distinct digest) so the memory-sink temp
+    view can be dropped immediately — repeated calls in a long session leave
+    no accumulating sink tables behind."""
+    import uuid
+
+    src = ensure_stream_parity_source(spark, sf_dir)
     stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
     deduped = dedup_stream(stream).select("text_md5")
     sink = f"stream_parity_{uuid.uuid4().hex[:12]}"
@@ -220,8 +240,10 @@ def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return (
+    grouped = (
         spark.table(sink)
         .groupBy("text_md5")
         .agg(F.count(F.lit(1)).cast("int").alias("n_rows"))
-    )
+    ).toPandas()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(grouped, "text_md5 string, n_rows int")

@@ -79,3 +79,13 @@ def test_missing_payload_kind_column_means_no_dispatch():
     out = extract_frame(pdf)
     for i, t in enumerate(PAYLOADS):
         assert out.iloc[i]["fmt"] == extract_turn(t)["fmt"]
+
+
+def test_unknown_declared_kind_falls_back_to_content_vote():
+    """An UNKNOWN declared kind (future payload enum, upstream typo) is a bad
+    declaration, not a bad row: S4 permissive semantics say fall through to
+    the content vote, never raise and kill the batch."""
+    p = '{"a": "<p>one two</p>", "b": "<p>three four</p>"}'
+    r = extract_turn(p, declared_kind="tool_json")
+    assert r["fmt"] == extract_turn(p)["fmt"]  # same as the undeclared vote
+    assert r["extracted_text"] == extract_turn(p)["extracted_text"]

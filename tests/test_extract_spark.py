@@ -80,3 +80,12 @@ def test_plan_num_partitions_floor(spark, transcripts_df):
 def test_empty_input(spark):
     empty = spark.createDataFrame([], "conv_id string, turn_idx int, text string")
     assert extract_transcripts(empty, num_partitions=2).count() == 0
+
+
+def test_dispatch_flag_works_without_tool_in_passthrough(spark, transcripts_df):
+    """dispatch_tool_json must not require callers to also pass `tool` through:
+    the declared kind is derived BEFORE pruning (regression: UNRESOLVED_COLUMN)."""
+    out = extract_transcripts(transcripts_df, dispatch_tool_json=True)
+    rows = out.limit(5).collect()
+    assert len(rows) == 5
+    assert "payload_kind" not in out.columns  # consumed by the kernel, not emitted

@@ -162,3 +162,11 @@ def test_wave_mode_crash_keeps_committed_waves(spark, transcripts_df, tmp_path,
                              n_buckets=N_BUCKETS, wave_buckets=3)
     assert resumed["buckets_done_before"] == 3
     assert _read_sorted(spark, resumed["data_path"]) == want
+
+
+def test_wave_buckets_below_one_raises(spark, transcripts_df, tmp_path):
+    """wave_buckets < 1 would make the wave list empty and return a success
+    summary with nothing written — it must raise instead (silent data loss)."""
+    with pytest.raises(ValueError, match="wave_buckets"):
+        run_extraction(spark, transcripts_df, str(tmp_path / "bad"), "rV",
+                       n_buckets=N_BUCKETS, wave_buckets=0)
