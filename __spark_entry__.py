@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ocr_engine_spark.operators import (  # noqa: E402
-    dedup, documents, multimodal, relational, similarity, text_analysis, visualize,
+    conversations, dedup, documents, multimodal, relational, similarity,
+    text_analysis, visualize,
+)
+from ocr_engine_spark.operators.conversations import (  # noqa: E402
+    CONV_DUP_MOD, CONV_DUP_RESIDUE,
 )
 from ocr_engine_spark.operators.dedup import (  # noqa: E402
     PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE,
@@ -46,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # — never driver-checked before r04 / new / changed this round —
+        "conv_assemble": conversations.q_conv_assemble,
+        "conv_dedup": conversations.q_conv_dedup,
         "span_svg": visualize.q_span_svg,
         "media_decode": multimodal.q_media_decode,
         "embedding_neardup": similarity.q_embedding_neardup,
@@ -299,6 +305,65 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(length(text) + 14 AS DOUBLE)
                         ELSE 0.0 END AS strip_ratio
             FROM documents
+        """,
+        # conversation assembly: the dispatch transcripts (same synthesis as
+        # tool_dispatch_extract) run through the kernel, then one training
+        # document per conversation — turns in turn_idx order with role
+        # prefixes, tool-turn counts, and the ts span all value-checked.
+        "conv_assemble": """
+            WITH t AS (
+              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                     CASE WHEN doc_id % 3 = 2 THEN 'search' END AS tool,
+                     TIMESTAMP '2026-01-01' + doc_id * INTERVAL 1 SECOND AS ts,
+                     text AS extracted_text
+              FROM documents)
+            SELECT conv_id,
+                   CAST(count(*) AS INTEGER) AS n_turns,
+                   CAST(count(tool) AS INTEGER) AS n_tool_turns,
+                   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+                     AS span_seconds,
+                   CAST(length(string_agg(role || ': ' || extracted_text,
+                        chr(10) ORDER BY turn_idx)) AS BIGINT) AS doc_chars,
+                   string_agg(role || ': ' || extracted_text,
+                        chr(10) ORDER BY turn_idx) AS doc_text
+            FROM t GROUP BY conv_id
+        """,
+        # conversation-granularity exact dedup over the assembled documents,
+        # with planted duplicate conversations (suffix % CONV_DUP_MOD ==
+        # CONV_DUP_RESIDUE reappears under 'dup_<N>') so the digest groupBy,
+        # the n_copies > 1 gate, and dup_rank verify on non-empty output.
+        "conv_dedup": f"""
+            WITH t AS (
+              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                     text AS extracted_text
+              FROM documents),
+            asm AS (
+              SELECT conv_id,
+                     string_agg(role || ': ' || extracted_text,
+                          chr(10) ORDER BY turn_idx) AS doc_text
+              FROM t GROUP BY conv_id),
+            all_docs AS (
+              SELECT conv_id, doc_text FROM asm
+              UNION ALL
+              SELECT 'dup_' || string_split(conv_id, '_')[2], doc_text
+              FROM asm
+              WHERE CAST(string_split(conv_id, '_')[2] AS INTEGER)
+                    % {CONV_DUP_MOD} = {CONV_DUP_RESIDUE}),
+            g AS (
+              SELECT conv_id, md5(doc_text) AS doc_md5,
+                     CAST(count(*) OVER (PARTITION BY md5(doc_text))
+                          AS INTEGER) AS n_copies,
+                     CAST(row_number() OVER (PARTITION BY md5(doc_text)
+                          ORDER BY conv_id) AS INTEGER) AS dup_rank
+              FROM all_docs)
+            SELECT conv_id, doc_md5, n_copies, dup_rank
+            FROM g WHERE n_copies > 1
         """,
         # the streaming dedup surface, batch-verified: one row per distinct
         # digest of the planted-duplicate corpus, n_rows == 1 iff the stream

@@ -84,6 +84,8 @@ HEADLINE = [
     "tool_dispatch_extract",
     "stream_dedup_parity",
     "span_svg",
+    "conv_assemble",
+    "conv_dedup",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)

@@ -1,0 +1,128 @@
+"""Conversation-level operators: assembly of extracted turns into training
+documents, and conversation-granularity deduplication.
+
+A transcript corpus is consumed at three granularities: turns (the extraction
+kernel's unit), documents (the dedup/similarity suite's unit), and
+CONVERSATIONS — the unit a pretraining pipeline actually trains on.  The
+reference's analogue is the ``Document`` wrapper over pages
+(/root/reference/src/dto.py:480-482): one logical item assembled from ordered
+parts.  These operators close that granularity level:
+
+- ``assemble_conversations``: extraction output -> one training document per
+  conversation, turns concatenated in (turn_idx) order with role prefixes,
+  plus the per-conversation metadata a data loader filters on (turn counts,
+  tool-turn counts, time span, char count).
+- ``q_conv_dedup``: exact duplicate-conversation groups over the assembled
+  documents — dedup at the granularity where near-identical re-runs of the
+  same agent session actually collide.
+
+Scale notes (100 TB): assembly is ONE hash exchange on conv_id; collect_list
+partially aggregates map-side, and the reducer-side state is inherently
+bounded by the largest single conversation (the output row IS the whole
+conversation — no operator can shrink that).  Whale conversations therefore
+bound task memory, not correctness; the corpus-wide token-budget and
+sequence-packing operators (text_analysis.py) are the downstream tools that
+re-chunk oversized documents.  The in-group sort is ``array_sort`` over
+structs whose FIRST field (turn_idx) is unique per conversation — a total
+order, deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# planted duplicate conversations for the dedup contract query (the
+# q_exact_dedup pattern: SQL-constructible derivations both engines replay):
+# every conversation whose numeric suffix N has N % CONV_DUP_MOD ==
+# CONV_DUP_RESIDUE reappears under the conv_id prefix 'dup_'.
+CONV_DUP_MOD = 5
+CONV_DUP_RESIDUE = 2
+
+
+def assemble_conversations(extracted: DataFrame) -> DataFrame:
+    """Extraction output (+ role/tool/ts passthrough) -> one row per conversation.
+
+    doc_text = turns in turn_idx order, each as '<role>: <extracted_text>',
+    newline-joined — the exact document a training pipeline tokenizes.  The
+    order key is array_sort over struct(turn_idx, ...): turn_idx is unique
+    within a conversation, so the sort is total and the result is independent
+    of partitioning (the A1 collect_list-nondeterminism rule, SURVEY §2.5).
+    """
+    turn = F.struct(
+        F.col("turn_idx"), F.col("role"), F.col("extracted_text"))
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.count(F.col("tool")).cast("int").alias("n_tool_turns"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint").alias("span_seconds"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(turn)),
+                    lambda t: F.concat_ws(
+                        ": ", t["role"], t["extracted_text"])),
+                "\n").alias("doc_text"),
+        )
+        .withColumn("doc_chars", F.length("doc_text").cast("bigint"))
+    )
+
+
+def q_conv_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: the six-column dispatch transcripts
+    (documents.tool_transcripts) run through the FULL fused kernel, then
+    assembled into per-conversation training documents.  The oracle replays
+    the assembly with string_agg(... ORDER BY turn_idx), so turn ordering,
+    role prefixes, tool-turn counting, and the ts span are all value-checked.
+    """
+    from ocr_engine_spark.operators.documents import dispatch_extracted
+
+    return assemble_conversations(dispatch_extracted(spark, sf_dir)).select(
+        "conv_id", "n_turns", "n_tool_turns", "span_seconds",
+        "doc_chars", "doc_text")
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-CONVERSATION groups over assembled documents.
+
+    The synthesized corpus has no organic duplicate conversations, so (the
+    q_exact_dedup pattern) duplicates are planted inside the query: every
+    conversation with numeric suffix N % 5 == 2 reappears under 'dup_<N>'.
+    The plant happens at the TRANSCRIPT level — duplicated turns flow through
+    the same single kernel pass and the same single assembly exchange as the
+    base corpus (one Python stage total; a union of two assembled branches
+    would execute the kernel subtree twice).  The digest groupBy, the
+    n_copies > 1 gate, and the deterministic dup_rank (conv_id is unique
+    across base+planted: 'conv_' < 'dup_') are all verified on non-empty
+    output.  Production callers run the same operator on the raw assembled
+    corpus."""
+    from pyspark.sql.window import Window
+
+    from ocr_engine_spark.operators.documents import tool_transcripts
+    from ocr_engine_spark.operators.extract import extract_transcripts
+    from ocr_engine_spark.operators.relational import load
+
+    transcripts = tool_transcripts(load(spark, sf_dir, "documents"))
+    suffix = F.split(F.col("conv_id"), "_").getItem(1).cast("int")
+    planted = transcripts.where(
+        suffix % CONV_DUP_MOD == CONV_DUP_RESIDUE
+    ).withColumn("conv_id", F.concat(F.lit("dup_"), suffix.cast("string")))
+    extracted = extract_transcripts(
+        transcripts.unionByName(planted),
+        num_partitions=spark.sparkContext.defaultParallelism * 2,
+        passthrough=("role", "tool", "ts"),
+        dispatch_tool_json=True,
+    )
+    h = assemble_conversations(extracted).withColumn(
+        "doc_md5", F.md5("doc_text"))
+    w = Window.partitionBy("doc_md5")
+    return (
+        h.withColumn("n_copies", F.count(F.lit(1)).over(w).cast("int"))
+        .withColumn(
+            "dup_rank",
+            F.row_number().over(
+                Window.partitionBy("doc_md5").orderBy("conv_id")).cast("int"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("conv_id", "doc_md5", "n_copies", "dup_rank")
+    )

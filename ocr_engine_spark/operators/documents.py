@@ -141,22 +141,13 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kernel_payload_spans(spark, sf_dir, payload)
 
 
-def q_tool_dispatch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 payload-kind dispatch over the FULL six-column input contract
-    (BASELINE.json input_hint: conv_id, turn_idx, role, text, tool, ts).
-
-    The documents corpus is reshaped into multi-turn transcripts (50 turns per
-    conversation); every doc_id % 3 == 2 turn is a TOOL turn whose payload is a
-    tool-JSON envelope and whose ``tool`` column is set.  The engine dispatches
-    on the declared kind (/root/reference/src/utils.py:179-188 analogue): tool
-    turns parse on the JSON path with NO content sniffing and NO E4 vote
-    (kernel/detect.py declared_kind), the rest content-sniff as usual, and
-    role/tool/ts pass through the kernel unchanged.  The oracle replays both
-    closed forms (json-envelope strip vs plain trim/collapse) plus the
-    role/ts derivations, so the whole six-column contract is value-checked."""
-    docs = load(spark, sf_dir, "documents")
+def tool_transcripts(docs: DataFrame) -> DataFrame:
+    """Reshape the documents corpus into six-column dispatch transcripts
+    (BASELINE.json input_hint shape): 50 turns-per-conversation layout, every
+    doc_id % 3 == 2 turn a TOOL turn carrying a tool-JSON envelope and a
+    non-null ``tool`` column, per-turn timestamps one second apart."""
     is_tool = F.col("doc_id") % 3 == 2
-    transcripts = docs.select(
+    return docs.select(
         F.concat(F.lit("conv_"), (F.col("doc_id") % 50).cast("string"))
         .alias("conv_id"),
         F.expr("cast(doc_id div 50 as int)").alias("turn_idx"),
@@ -170,12 +161,35 @@ def q_tool_dispatch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestamp'2026-01-01 00:00:00'"
                " + make_interval(0, 0, 0, 0, 0, 0, doc_id)").alias("ts"),
     )
-    out = extract_transcripts(
+
+
+def dispatch_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tool_transcripts run through the full fused kernel with declared-kind
+    dispatch, role/tool/ts riding through — the shared upstream of the
+    tool-dispatch contract query and the conversation-level operators."""
+    transcripts = tool_transcripts(load(spark, sf_dir, "documents"))
+    return extract_transcripts(
         transcripts,
         num_partitions=spark.sparkContext.defaultParallelism * 2,
         passthrough=("role", "tool", "ts"),
         dispatch_tool_json=True,
     )
+
+
+def q_tool_dispatch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 payload-kind dispatch over the FULL six-column input contract
+    (BASELINE.json input_hint: conv_id, turn_idx, role, text, tool, ts).
+
+    The documents corpus is reshaped into multi-turn transcripts (50 turns per
+    conversation); every doc_id % 3 == 2 turn is a TOOL turn whose payload is a
+    tool-JSON envelope and whose ``tool`` column is set.  The engine dispatches
+    on the declared kind (/root/reference/src/utils.py:179-188 analogue): tool
+    turns parse on the JSON path with NO content sniffing and NO E4 vote
+    (kernel/detect.py declared_kind), the rest content-sniff as usual, and
+    role/tool/ts pass through the kernel unchanged.  The oracle replays both
+    closed forms (json-envelope strip vs plain trim/collapse) plus the
+    role/ts derivations, so the whole six-column contract is value-checked."""
+    out = dispatch_extracted(spark, sf_dir)
     return out.select(
         "conv_id", "turn_idx", "role", "tool", "ts",
         "extracted_text", "fmt", "n_spans", "strip_ratio")
