@@ -327,6 +327,50 @@ def _table_mtime(sf_dir: str, name: str) -> float:
 # (sf_dir, threshold, family, table mtime) -> parquet path of the pairs table
 _PAIRS_ARTIFACT: dict[tuple, str] = {}
 
+# every artifact tmpdir any per-process cache creates, removed at interpreter
+# exit so contract/bench runs leave nothing behind in /tmp
+_ARTIFACT_DIRS: list[str] = []
+
+
+def artifact_tmpdir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` registered for atexit removal — the shared temp
+    policy for per-process parquet artifacts (LSH pairs, stream-parity
+    sources): live for the process, gone with it."""
+    import atexit
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _ARTIFACT_DIRS:
+        atexit.register(_cleanup_artifact_dirs)
+    _ARTIFACT_DIRS.append(d)
+    return d
+
+
+def _cleanup_artifact_dirs() -> None:
+    import shutil
+
+    while _ARTIFACT_DIRS:
+        shutil.rmtree(_ARTIFACT_DIRS.pop(), ignore_errors=True)
+
+
+def evict_stale_artifacts(cache: dict, key: tuple) -> None:
+    """Drop cache entries superseded by ``key`` (same key except the trailing
+    mtime component) and delete their artifact dirs: a corpus rewrite under
+    sf_dir already invalidates every result derived from the old files, so
+    keeping the orphaned parquet only grows /tmp without bound."""
+    import os
+    import shutil
+
+    for k in [k for k in cache if k[:-1] == key[:-1] and k != key]:
+        old = cache.pop(k)
+        shutil.rmtree(os.path.dirname(old) if old.endswith(".parquet")
+                      else old, ignore_errors=True)
+        try:
+            _ARTIFACT_DIRS.remove(os.path.dirname(old)
+                                  if old.endswith(".parquet") else old)
+        except ValueError:
+            pass
+
 
 def materialized_lsh_pairs(spark: SparkSession, sf_dir: str,
                            jaccard_threshold: float = 0.5,
@@ -345,18 +389,17 @@ def materialized_lsh_pairs(spark: SparkSession, sf_dir: str,
     within a process.  (doc_id bigint, doc_id bigint, jaccard double) round-
     trips parquet exactly, so consumers see bit-identical pairs either way.
     """
-    import tempfile
-
     key = (sf_dir, jaccard_threshold, family, _table_mtime(sf_dir, "documents"))
     path = _PAIRS_ARTIFACT.get(key)
     if path is None:
+        evict_stale_artifacts(_PAIRS_ARTIFACT, key)
         # release only the caches THIS build registers: a global release here
         # would also unpersist unrelated builders a caller still holds
         before = {id(x) for x in _PERSISTED}
         docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
         pairs = minhash_lsh_pairs(
             docs, jaccard_threshold=jaccard_threshold, family=family)
-        path = tempfile.mkdtemp(prefix="ocr_engine_lsh_pairs_") + "/pairs.parquet"
+        path = artifact_tmpdir("ocr_engine_lsh_pairs_") + "/pairs.parquet"
         pairs.write.mode("overwrite").parquet(path)
         for df_ in [x for x in _PERSISTED if id(x) not in before]:
             try:

@@ -171,41 +171,42 @@ def _schema_with_ts():
 _STREAM_PARITY_DIRS: dict[tuple, str] = {}
 
 
+def _single_turn_shape(docs, conv_id_col):
+    """documents rows -> the six-column transcript shape (input_hint) as one
+    single-turn conversation per document; ONE definition of the literal shape
+    so base and planted branches (and any future caller) cannot drift from
+    what read_transcript_stream's TRANSCRIPTS_DDL expects."""
+    return docs.select(
+        conv_id_col.cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"),
+    )
+
+
 def ensure_stream_parity_source(spark: SparkSession, sf_dir: str) -> str:
     """Synthesize (once per process per corpus mtime) the multi-file parquet
     transcripts directory the streaming-dedup parity query replays: the
     documents corpus with the same planted duplicates as ``q_exact_dedup``.
     Factored out so bench.py can charge the build as an explicit artifact row
-    instead of hiding it inside a best-of-reps minimum."""
-    import tempfile
-
-    from ocr_engine_spark.operators.dedup import _table_mtime
+    instead of hiding it inside a best-of-reps minimum.  The tmpdir is
+    process-lifetime (atexit-removed) and superseded corpus mtimes evict
+    their orphaned artifact dirs."""
+    from ocr_engine_spark.operators.dedup import (
+        PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE, _table_mtime, artifact_tmpdir,
+        evict_stale_artifacts)
 
     cache_key = (sf_dir, _table_mtime(sf_dir, "documents"))
     if cache_key not in _STREAM_PARITY_DIRS:
+        evict_stale_artifacts(_STREAM_PARITY_DIRS, cache_key)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        base = docs.select(
-            F.col("doc_id").cast("string").alias("conv_id"),
-            F.lit(0).cast("int").alias("turn_idx"),
-            F.lit("user").alias("role"),
-            F.col("text"),
-            F.lit(None).cast("string").alias("tool"),
-            F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"),
-        )
-        from ocr_engine_spark.operators.dedup import (
-            PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE)
-
-        planted = docs.where(
-            F.col("doc_id") % PLANT_MOD == PLANT_RESIDUE).select(
-            (F.col("doc_id") + PLANT_OFFSET).cast("string").alias("conv_id"),
-            F.lit(0).cast("int").alias("turn_idx"),
-            F.lit("user").alias("role"),
-            F.col("text"),
-            F.lit(None).cast("string").alias("tool"),
-            F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"),
-        )
-        src = tempfile.mkdtemp(
-            prefix="ocr_engine_stream_parity_") + "/transcripts"
+        base = _single_turn_shape(docs, F.col("doc_id"))
+        planted = _single_turn_shape(
+            docs.where(F.col("doc_id") % PLANT_MOD == PLANT_RESIDUE),
+            F.col("doc_id") + PLANT_OFFSET)
+        src = artifact_tmpdir("ocr_engine_stream_parity_") + "/transcripts"
         base.unionByName(planted).repartition(8).write.parquet(src)
         _STREAM_PARITY_DIRS[cache_key] = src
     return _STREAM_PARITY_DIRS[cache_key]
@@ -225,10 +226,15 @@ def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the order-independent invariant the batch twin can verify: one
     output row per distinct digest with n_rows == 1.  Any dedup failure
     surfaces as n_rows > 1 (hash mismatch), any lost digest as a row-count
-    mismatch vs the batch DISTINCT oracle.  The grouped invariant is drained
-    to the driver (one small row per distinct digest) so the memory-sink temp
-    view can be dropped immediately — repeated calls in a long session leave
-    no accumulating sink tables behind."""
+    mismatch vs the batch DISTINCT oracle.
+
+    CONTRACT-SCALE EVIDENCE ONLY: the memory sink and the toPandas drain are
+    both O(distinct digests) in driver memory — chosen here because the
+    oracle harness compares full result sets at test scale factors anyway,
+    and draining lets the sink temp view drop immediately (no accumulation
+    across repeated calls).  The production streaming path is
+    ``dedup_stream`` -> a real file/table sink with checkpointing
+    (jobs/stream_job.py), which never funnels rows through the driver."""
     import uuid
 
     src = ensure_stream_parity_source(spark, sf_dir)

@@ -46,7 +46,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "html_extract", "markdown_extract", "kmeans_centroids", "media_decode",
     "event_sessions", "event_rolling", "tfidf", "dedup_canonical",
     "tool_dispatch_extract", "stream_dedup_parity",
-    "conv_assemble", "conv_dedup",
+    "conv_assemble", "conv_dedup", "span_svg", "embedding_neardup_ivf",
 ])
 def test_query_matches_oracle(spark, entrymod, duck, name):
     from tools.check_contract import compare
