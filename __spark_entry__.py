@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — never driver-checked before r04 / new / changed this round —
         "conv_assemble": conversations.q_conv_assemble,
         "conv_dedup": conversations.q_conv_dedup,
+        "source_mix": text_analysis.q_source_mix,
+        "conv_assemble_capped": conversations.q_conv_assemble_capped,
         "span_svg": visualize.q_span_svg,
         "media_decode": multimodal.q_media_decode,
         "embedding_neardup": similarity.q_embedding_neardup,
@@ -72,7 +74,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_extract": documents.q_markdown_extract,
         "explode_parts": documents.q_explode_parts,
         "explode_parts_range": documents.q_explode_parts_range,
-        "multi_source_union": documents.q_multi_source_union,
         "output_keys": documents.q_output_keys,
         "tsv_lines": documents.q_tsv_lines,
         "strip_ratio_by_source": documents.q_strip_ratio_by_source,
@@ -99,7 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,
         "simhash_neardup": dedup.q_simhash_neardup,
         # — similarity search —
-        "embedding_topk": similarity.q_embedding_topk,
         "embedding_topk_blas": similarity.q_embedding_topk_blas,
         "kmeans_centroids": similarity.q_kmeans_centroids,
         "ivf_assign": similarity.q_ivf_assign,
@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (driver-green unchanged in both r02 and r03; the IVF queries stay
         #   INSIDE the window above because their trained-centroids upstream
         #   changed in r04) —
+        "embedding_topk": similarity.q_embedding_topk,
+        "multi_source_union": documents.q_multi_source_union,
         "event_windows": relational.q_event_windows,
         "asof_last_order": relational.q_asof_last_order,
         "event_percentiles": relational.q_event_percentiles,
@@ -332,6 +334,34 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(role || ': ' || extracted_text,
                         chr(10) ORDER BY turn_idx) AS doc_text
             FROM t GROUP BY conv_id
+        """,
+        # context-budget truncation before assembly: keep each conversation's
+        # longest turn prefix whose assembled doc fits 1200 chars (cumsum of
+        # len(role)+2+len(text)+1 minus the final joiner), then assemble.
+        "conv_assemble_capped": """
+            WITH t AS (
+              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                     CASE WHEN doc_id % 3 = 2 THEN 'search' END AS tool,
+                     text AS extracted_text
+              FROM documents),
+            c AS (
+              SELECT *,
+                     sum(length(role) + 2 + length(extracted_text) + 1)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) - 1 AS prefix_len
+              FROM t),
+            k AS (SELECT * FROM c WHERE prefix_len <= 1200)
+            SELECT conv_id,
+                   CAST(count(*) AS INTEGER) AS n_turns,
+                   CAST(count(tool) AS INTEGER) AS n_tool_turns,
+                   CAST(length(string_agg(role || ': ' || extracted_text,
+                        chr(10) ORDER BY turn_idx)) AS BIGINT) AS doc_chars,
+                   string_agg(role || ': ' || extracted_text,
+                        chr(10) ORDER BY turn_idx) AS doc_text
+            FROM k GROUP BY conv_id
         """,
         # conversation-granularity exact dedup over the assembled documents,
         # with planted duplicate conversations (suffix % CONV_DUP_MOD ==
@@ -789,6 +819,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 50 != 7 GROUP BY doc_id
         """,
         # md5-hash deterministic per-source sampling (reproducible data mixing)
+        # data mixing: reweight the corpus to target source shares under a
+        # 40%-of-corpus budget — per-source quota floor(budget * w / wsum),
+        # members chosen by smallest md5(doc_id) (deterministic cross-engine)
+        "source_mix": """
+            WITH stats AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(ascii(substring(source, -1, 1)) % 4 + 1 AS BIGINT) AS w
+              FROM documents GROUP BY source),
+            totals AS (SELECT sum(n_docs) AS total, sum(w) AS wsum FROM stats),
+            quota AS (
+              SELECT source, w,
+                     CAST(floor(total * 0.4 * w / wsum) AS BIGINT) AS quota
+              FROM stats, totals),
+            ranked AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS INTEGER) AS mix_rank
+              FROM documents)
+            SELECT r.doc_id, r.source, r.mix_rank, q.w, q.quota
+            FROM ranked r JOIN quota q USING (source)
+            WHERE r.mix_rank <= q.quota
+        """,
         "stratified_sample": """
             SELECT doc_id, source, bucket, rate FROM (
               SELECT doc_id, source,

@@ -86,6 +86,8 @@ HEADLINE = [
     "span_svg",
     "conv_assemble",
     "conv_dedup",
+    "source_mix",
+    "conv_assemble_capped",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)

@@ -68,6 +68,42 @@ def assemble_conversations(extracted: DataFrame) -> DataFrame:
     )
 
 
+def truncate_to_budget(extracted: DataFrame, char_budget: int) -> DataFrame:
+    """Keep each conversation's PREFIX of turns whose assembled length fits a
+    char budget — the context-length cap a pipeline applies before packing.
+
+    A turn survives iff the assembled document through that turn (role prefix
+    + ': ' + text per turn, newline-joined) is <= ``char_budget``.  The
+    running length is one window cumsum over (conv_id, turn_idx) — exact
+    integer arithmetic, same formula the SQL oracle replays.  Truncation is
+    prefix-only (later turns depend on earlier context; dropping from the
+    middle would corrupt the dialogue), mirroring how context windows clip."""
+    from pyspark.sql.window import Window
+
+    cost = (F.length("role") + F.lit(2)
+            + F.length("extracted_text") + F.lit(1)).cast("bigint")
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        extracted.withColumn("prefix_len", F.sum(cost).over(w) - F.lit(1))
+        .where(F.col("prefix_len") <= char_budget)
+        .drop("prefix_len")
+    )
+
+
+def q_conv_assemble_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: assembly under a 1200-char context budget — every
+    conversation keeps the longest turn prefix whose assembled document fits,
+    then assembles as usual.  Both the cumsum cutoff and the assembly are
+    replayed by the SQL oracle, so the budget arithmetic (role prefix + ': '
+    + text + newline joiner) is value-checked, not approximated."""
+    from ocr_engine_spark.operators.documents import dispatch_extracted
+
+    capped = truncate_to_budget(dispatch_extracted(spark, sf_dir), 1200)
+    return assemble_conversations(capped).select(
+        "conv_id", "n_turns", "n_tool_turns", "doc_chars", "doc_text")
+
+
 def q_conv_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract query: the six-column dispatch transcripts
     (documents.tool_transcripts) run through the FULL fused kernel, then

@@ -268,6 +268,50 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data MIXING to target source weights — the step after sampling/filtering
+    in a pretraining pipeline: given per-source mix weights and a total doc
+    budget, keep exactly ``quota_s = floor(budget * w_s / sum(w))`` docs per
+    source, choosing each source's docs deterministically (smallest
+    md5(doc_id) first — reproducible across engines, partitionings, runs).
+
+    Distinct from q_stratified_sample: that keeps a hash-rate FRACTION of each
+    source (proportional thinning); this REWEIGHTS the corpus to target
+    shares under a budget, which requires per-source quotas and ranks.
+
+    Scale shape: one groupBy(source) for stats (tiny), the 1-row totals
+    broadcast back, one row_number window per source, one broadcast quota
+    join — no all-corpus sort, no driver collect.  Weights derive from the
+    source name (w in 1..4) so the query is scale-factor-free."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w_expr = (F.ascii(F.substring("source", -1, 1)) % 4 + 1).cast("bigint")
+    stats = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", w_expr)
+    )
+    totals = stats.agg(
+        F.sum("n_docs").alias("total"), F.sum("w").alias("wsum"))
+    quota = (
+        stats.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "quota",
+            F.floor(F.col("total") * 0.4 * F.col("w") / F.col("wsum"))
+            .cast("bigint"))
+        .select("source", "w", "quota")
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("mix_rank", F.row_number().over(rk).cast("int"))
+        .join(F.broadcast(quota), "source")
+        .where(F.col("mix_rank") <= F.col("quota"))
+        .select("doc_id", "source", "mix_rank", "w", "quota")
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition metrics (Gopher-style repetition filter
     inputs): most-frequent-token share and distinct-token fraction.  One

@@ -12,7 +12,9 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from ocr_engine_spark.operators.conversations import assemble_conversations  # noqa: E402
+from ocr_engine_spark.operators.conversations import (  # noqa: E402
+    assemble_conversations, truncate_to_budget,
+)
 
 SCHEMA = ("conv_id string, turn_idx int, extracted_text string, "
           "role string, tool string, ts timestamp")
@@ -42,6 +44,23 @@ def test_assembly_order_roles_and_counts(spark):
     assert c1["doc_chars"] == len(c1["doc_text"])
     assert c2["doc_text"] == "user: solo"
     assert (c2["n_turns"], c2["n_tool_turns"], c2["span_seconds"]) == (1, 0, 0)
+
+
+def test_truncate_to_budget_prefix_semantics(spark):
+    df = spark.createDataFrame(_rows(), SCHEMA)
+    # c1 turns assemble to 'user: hi\ntool: result\nassistant: done';
+    # prefix lengths: 'user: hi'=8, +'\ntool: result'=21, +…=37
+    full = assemble_conversations(truncate_to_budget(df, 10_000))
+    assert full.where("conv_id='c1'").first()["n_turns"] == 3
+    capped = assemble_conversations(truncate_to_budget(df, 21))
+    r = capped.where("conv_id='c1'").first()
+    assert r["n_turns"] == 2 and r["doc_text"] == "user: hi\ntool: result"
+    # exact boundary: budget 20 excludes the second turn (prefix_len 21 > 20)
+    tight = assemble_conversations(truncate_to_budget(df, 20))
+    assert tight.where("conv_id='c1'").first()["n_turns"] == 1
+    # a conversation whose FIRST turn exceeds the budget disappears entirely
+    gone = assemble_conversations(truncate_to_budget(df, 5))
+    assert gone.where("conv_id='c1'").count() == 0
 
 
 def test_assembly_deterministic_under_repartition(spark):
