@@ -120,6 +120,28 @@ def force(df) -> int:
     return 0
 
 
+def _cpu_snapshot():
+    """(user, system, idle, steal) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        f = open("/proc/stat").readline().split()
+        return int(f[1]), int(f[3]), int(f[4]), int(f[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def cpu_shares(before, after) -> dict | None:
+    """Host-contention attribution for this shared VM: the steal share says
+    how much hypervisor time the run lost to co-tenants (measured 0-50%
+    between runs on this box), so a slow history line can be blamed on the
+    host instead of a plan change without re-measuring."""
+    if not (before and after):
+        return None
+    d = [b - a for a, b in zip(before, after)]
+    tot = sum(d) or 1
+    return {"user": round(d[0] / tot, 3), "system": round(d[1] / tot, 3),
+            "idle": round(d[2] / tot, 3), "steal": round(d[3] / tot, 3)}
+
+
 def bench_extraction(spark, n_convs: int, seed: int = 7) -> dict:
     """Flagship metric: turns/sec over the synthetic transcript corpus."""
     import pandas as pd  # noqa: F401
@@ -152,6 +174,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    cpu_before = _cpu_snapshot()
     spark = build_spark(cpus)
 
     # warm the Python workers once: worker fork + kernel import is a per-executor
@@ -244,6 +267,7 @@ def main() -> None:
         "cpus": cpus,
         "extraction": extraction,
         "extraction_steady": extraction_steady,
+        "cpu": cpu_shares(cpu_before, _cpu_snapshot()),
     }
     print(json.dumps(result))
     _append_history(result, raw_reps)
@@ -269,6 +293,7 @@ def _append_history(result: dict, raw_reps: dict | None = None) -> None:
             "total": result["value"], "queries": result["queries"],
             "extraction": result["extraction"],
             "extraction_steady": result["extraction_steady"],
+            "cpu": result.get("cpu"),
             "raw_reps": raw_reps}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH", "query_history.jsonl")
