@@ -129,6 +129,37 @@ def _cpu_snapshot():
         return None
 
 
+def machine_canaries(spark) -> dict:
+    """Two fixed-work probes recorded per line so ANY line is comparable:
+
+    - ``job_rtt_ms``: median wall of a trivial 1-row Spark job — the
+      stage-scheduling round-trip.  The shared host injects scheduling
+      latency that barely registers as steal share (threads park idle while
+      a descheduled JVM thread holds the next stage), and the many-small-
+      stage headline total tracks THIS number, not CPU speed.
+    - ``kernel_tps_1core``: single-core extraction kernel rate over a fixed
+      seeded 200-conversation corpus — pure compute speed.
+    """
+    import statistics
+
+    from ocr_engine_spark.kernel.pipeline import extract_frame
+    from ocr_engine_spark.sources.transcripts import generate_transcripts
+
+    spark.range(1).count()  # JIT/worker warm
+    rtts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        rtts.append((time.perf_counter() - t0) * 1000)
+    pdf = generate_transcripts(n_convs=200, seed=11)
+    extract_frame(pdf.head(200))  # warm the kernel import/JIT paths
+    t0 = time.perf_counter()
+    extract_frame(pdf)
+    sec = time.perf_counter() - t0
+    return {"job_rtt_ms": round(statistics.median(rtts), 1),
+            "kernel_tps_1core": round(len(pdf) / sec, 1)}
+
+
 def cpu_shares(before, after) -> dict | None:
     """Host-contention attribution for this shared VM: the steal share says
     how much hypervisor time the run lost to co-tenants (measured 0-50%
@@ -188,6 +219,7 @@ def main() -> None:
         "conv_id": ["w"] * (4 * cpus), "turn_idx": list(range(4 * cpus)),
         "text": ["warm up"] * (4 * cpus)}))
     force(extract_transcripts(warm.repartition(cpus)))
+    canary = machine_canaries(spark)
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -268,6 +300,7 @@ def main() -> None:
         "extraction": extraction,
         "extraction_steady": extraction_steady,
         "cpu": cpu_shares(cpu_before, _cpu_snapshot()),
+        "canary": canary,
     }
     print(json.dumps(result))
     _append_history(result, raw_reps)
@@ -294,6 +327,7 @@ def _append_history(result: dict, raw_reps: dict | None = None) -> None:
             "extraction": result["extraction"],
             "extraction_steady": result["extraction_steady"],
             "cpu": result.get("cpu"),
+            "canary": result.get("canary"),
             "raw_reps": raw_reps}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH", "query_history.jsonl")
