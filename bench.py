@@ -121,10 +121,12 @@ def force(df) -> int:
 
 
 def _cpu_snapshot():
-    """(user, system, idle, steal) jiffies from /proc/stat, or None off-Linux."""
+    """All 8 /proc/stat cpu jiffy fields (user nice system idle iowait irq
+    softirq steal), or None off-Linux.  All fields go in the denominator —
+    dropping iowait/irq would inflate every reported share."""
     try:
         f = open("/proc/stat").readline().split()
-        return int(f[1]), int(f[3]), int(f[4]), int(f[8])
+        return tuple(int(x) for x in f[1:9])
     except (OSError, IndexError, ValueError):
         return None
 
@@ -169,8 +171,12 @@ def cpu_shares(before, after) -> dict | None:
         return None
     d = [b - a for a, b in zip(before, after)]
     tot = sum(d) or 1
-    return {"user": round(d[0] / tot, 3), "system": round(d[1] / tot, 3),
-            "idle": round(d[2] / tot, 3), "steal": round(d[3] / tot, 3)}
+    # fields: user nice system idle iowait irq softirq steal
+    return {"user": round((d[0] + d[1]) / tot, 3),
+            "system": round((d[2] + d[5] + d[6]) / tot, 3),
+            "idle": round(d[3] / tot, 3),
+            "iowait": round(d[4] / tot, 3),
+            "steal": round(d[7] / tot, 3)}
 
 
 def bench_extraction(spark, n_convs: int, seed: int = 7) -> dict:

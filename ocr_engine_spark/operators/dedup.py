@@ -354,22 +354,16 @@ def _cleanup_artifact_dirs() -> None:
 
 
 def evict_stale_artifacts(cache: dict, key: tuple) -> None:
-    """Drop cache entries superseded by ``key`` (same key except the trailing
-    mtime component) and delete their artifact dirs: a corpus rewrite under
-    sf_dir already invalidates every result derived from the old files, so
-    keeping the orphaned parquet only grows /tmp without bound."""
-    import os
-    import shutil
-
+    """Drop cache ENTRIES superseded by ``key`` (same key except the trailing
+    mtime component) so the registry cannot grow one entry per corpus
+    rewrite.  The superseded dirs themselves are deliberately NOT deleted
+    here: a caller may still hold a lazy DataFrame reading the old path (a
+    stale-but-consistent read), and deleting under it would turn that into a
+    runtime FileNotFound.  The dirs stay registered in _ARTIFACT_DIRS and
+    are reclaimed at interpreter exit — within-process growth is bounded by
+    the number of corpus rewrites, which is ~0 outside tests."""
     for k in [k for k in cache if k[:-1] == key[:-1] and k != key]:
-        old = cache.pop(k)
-        shutil.rmtree(os.path.dirname(old) if old.endswith(".parquet")
-                      else old, ignore_errors=True)
-        try:
-            _ARTIFACT_DIRS.remove(os.path.dirname(old)
-                                  if old.endswith(".parquet") else old)
-        except ValueError:
-            pass
+        cache.pop(k)
 
 
 def materialized_lsh_pairs(spark: SparkSession, sf_dir: str,

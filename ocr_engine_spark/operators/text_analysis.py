@@ -279,10 +279,11 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (proportional thinning); this REWEIGHTS the corpus to target
     shares under a budget, which requires per-source quotas and ranks.
 
-    Scale shape: one groupBy(source) for stats (tiny), the 1-row totals
-    broadcast back, one row_number window per source, one broadcast quota
-    join — no all-corpus sort, no driver collect.  Weights derive from the
-    source name (w in 1..4) so the query is scale-factor-free."""
+    Scale shape: one groupBy(source) for stats (tiny), totals via a window
+    over that one-row-per-source frame (no second corpus scan), one
+    row_number window per source, one broadcast quota join — no all-corpus
+    sort, no driver collect.  Weights derive from the source name (w in
+    1..4) so the query is scale-factor-free."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
@@ -292,10 +293,14 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("w", w_expr)
     )
-    totals = stats.agg(
-        F.sum("n_docs").alias("total"), F.sum("w").alias("wsum"))
+    # totals via a window over the TINY per-source stats frame (one row per
+    # source): a separate stats.agg() branch would re-execute the groupBy
+    # subtree and pay a second full corpus scan in a headline-timed query
+    wall = Window.partitionBy()
     quota = (
-        stats.crossJoin(F.broadcast(totals))
+        stats
+        .withColumn("total", F.sum("n_docs").over(wall))
+        .withColumn("wsum", F.sum("w").over(wall))
         .withColumn(
             "quota",
             F.floor(F.col("total") * 0.4 * F.col("w") / F.col("wsum"))

@@ -192,8 +192,9 @@ def ensure_stream_parity_source(spark: SparkSession, sf_dir: str) -> str:
     documents corpus with the same planted duplicates as ``q_exact_dedup``.
     Factored out so bench.py can charge the build as an explicit artifact row
     instead of hiding it inside a best-of-reps minimum.  The tmpdir is
-    process-lifetime (atexit-removed) and superseded corpus mtimes evict
-    their orphaned artifact dirs."""
+    process-lifetime (atexit-removed); a corpus rewrite drops the superseded
+    cache entry (the old dir survives until exit so held readers keep
+    working)."""
     from ocr_engine_spark.operators.dedup import (
         PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE, _table_mtime, artifact_tmpdir,
         evict_stale_artifacts)

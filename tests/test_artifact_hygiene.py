@@ -1,6 +1,7 @@
 """Process-lifetime temp-artifact policy (operators/dedup.py helpers): artifact
-dirs register for atexit removal, and superseded corpus mtimes evict their
-orphaned parquet dirs instead of accumulating in /tmp."""
+dirs register for atexit removal, and a corpus rewrite drops the superseded
+cache ENTRY while leaving the old dir on disk until exit (a still-held lazy
+reader over the old path must keep working)."""
 
 import os
 import pathlib
@@ -22,30 +23,39 @@ def test_artifact_tmpdir_registers_for_cleanup():
     os.rmdir(d)
 
 
-def test_evict_stale_artifacts_removes_superseded_mtime_entries():
+def test_evict_drops_superseded_entries_but_keeps_dirs():
     d_old = artifact_tmpdir("test_hygiene_")
-    d_new = artifact_tmpdir("test_hygiene_")
+    path_old = d_old + "/pairs.parquet"
+    os.makedirs(path_old)
     cache = {
-        ("sf", 0.5, "md5", 1.0): d_old + "/pairs.parquet",
-        ("other_sf", 0.5, "md5", 1.0): d_new + "/pairs.parquet",
+        ("sf", 0.5, "md5", 1.0): path_old,
+        ("other_sf", 0.5, "md5", 1.0): "unrelated",
     }
-    os.makedirs(cache[("sf", 0.5, "md5", 1.0)])
     evict_stale_artifacts(cache, ("sf", 0.5, "md5", 2.0))
-    # superseded (same prefix, older mtime) entry evicted and its dir removed
+    # superseded (same prefix, older mtime) ENTRY evicted ...
     assert ("sf", 0.5, "md5", 1.0) not in cache
-    assert not os.path.exists(d_old)
+    # ... but the dir survives for still-held lazy readers, and stays
+    # registered for atexit reclamation
+    assert os.path.isdir(path_old)
+    assert d_old in _ARTIFACT_DIRS
     # unrelated keys untouched
-    assert ("other_sf", 0.5, "md5", 1.0) in cache
-    for d in (d_old, d_new):
-        if d in _ARTIFACT_DIRS:
-            _ARTIFACT_DIRS.remove(d)
-    os.path.isdir(d_new) and os.rmdir(d_new)
+    assert cache == {("other_sf", 0.5, "md5", 1.0): "unrelated"}
+    _ARTIFACT_DIRS.remove(d_old)
+    os.rmdir(path_old)
+    os.rmdir(d_old)
 
 
-def test_cleanup_removes_all_registered_dirs():
+def test_cleanup_removes_registered_dirs_without_touching_others():
+    # simulate the atexit pass on an ISOLATED registry: invoking the real
+    # global handler mid-process would delete artifacts other tests' caches
+    # still point at (order-dependent breakage under -p random / xdist)
     d = artifact_tmpdir("test_hygiene_")
-    before = list(_ARTIFACT_DIRS)
-    _cleanup_artifact_dirs()
-    assert not _ARTIFACT_DIRS
-    assert not os.path.exists(d)
-    assert all(not os.path.exists(x) for x in before)
+    _ARTIFACT_DIRS.remove(d)
+    saved = list(_ARTIFACT_DIRS)
+    _ARTIFACT_DIRS[:] = [d]
+    try:
+        _cleanup_artifact_dirs()
+        assert not _ARTIFACT_DIRS
+        assert not os.path.exists(d)
+    finally:
+        _ARTIFACT_DIRS[:] = saved
