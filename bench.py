@@ -1,10 +1,14 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints the result JSON line
 
     {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec, ...},
      "sf": ..., "extraction": {"turns": N, "sec": s, "turns_per_sec": r}}
+
+twice: a full-precision detail line, then a compact (<1.9 KB) FINAL line with the
+same contract fields, so a bounded tail capture of stdout always ends in one
+complete parseable record (the r04 lesson: one 4.2 KB line truncates to nothing).
 
 Every query is forced end-to-end with a ``noop``-format write (full execution, no
 driver-side collect bottleneck).  The flagship extraction throughput (turns/sec, the
@@ -140,7 +144,10 @@ def machine_canaries(spark) -> dict:
       a descheduled JVM thread holds the next stage), and the many-small-
       stage headline total tracks THIS number, not CPU speed.
     - ``kernel_tps_1core``: single-core extraction kernel rate over a fixed
-      seeded 200-conversation corpus — pure compute speed.
+      seeded 200-conversation corpus — pure compute speed.  Best of 3 reps:
+      a single-shot reading is contention-noisy on this shared VM (the first
+      r04 line read 10.6k vs the ~17-19k history), and "best" is the right
+      estimator for a PURE-SPEED reference (contention only ever adds time).
     """
     import statistics
 
@@ -155,11 +162,13 @@ def machine_canaries(spark) -> dict:
         rtts.append((time.perf_counter() - t0) * 1000)
     pdf = generate_transcripts(n_convs=200, seed=11)
     extract_frame(pdf.head(200))  # warm the kernel import/JIT paths
-    t0 = time.perf_counter()
-    extract_frame(pdf)
-    sec = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        extract_frame(pdf)
+        best = min(best, time.perf_counter() - t0)
     return {"job_rtt_ms": round(statistics.median(rtts), 1),
-            "kernel_tps_1core": round(len(pdf) / sec, 1)}
+            "kernel_tps_1core": round(len(pdf) / best, 1)}
 
 
 def cpu_shares(before, after) -> dict | None:
@@ -308,9 +317,39 @@ def main() -> None:
         "cpu": cpu_shares(cpu_before, _cpu_snapshot()),
         "canary": canary,
     }
+    # Two lines, detail first: the driver records only the LAST ~2000 bytes of
+    # stdout, and the r04 detail line (4.2 KB) outgrew that window — the driver
+    # recorded `parsed: null`.  The FINAL line is therefore a compact record
+    # carrying the same contract fields (metric/value/unit/queries/sf plus the
+    # headline extraction + canary), byte-budgeted to always survive tail
+    # truncation; the detail line above it keeps full precision + cpu shares,
+    # and BENCH/query_history.jsonl keeps everything including raw reps.
     print(json.dumps(result))
+    print(_compact_line(result))
     _append_history(result, raw_reps)
     spark.stop()
+
+
+def _compact_line(result: dict, budget: int = 1900) -> str:
+    """Contract record guaranteed under ``budget`` bytes: round query timings
+    progressively (2dp -> 1dp), then as a last resort drop per-query timings
+    (they still live on the detail line and in query_history.jsonl)."""
+    for decimals in (2, 1):
+        compact = {
+            "metric": result["metric"], "value": result["value"],
+            "unit": result["unit"],
+            "queries": {k: round(v, decimals)
+                        for k, v in result["queries"].items()},
+            "sf": result["sf"], "cpus": result["cpus"],
+            "extraction": result["extraction"],
+            "extraction_steady": result["extraction_steady"],
+            "canary": result.get("canary"),
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    compact["queries"] = {"_see": "detail line / BENCH/query_history.jsonl"}
+    return json.dumps(compact, separators=(",", ":"))
 
 
 def _append_history(result: dict, raw_reps: dict | None = None) -> None:

@@ -47,6 +47,13 @@ def assemble_conversations(extracted: DataFrame) -> DataFrame:
     order key is array_sort over struct(turn_idx, ...): turn_idx is unique
     within a conversation, so the sort is total and the result is independent
     of partitioning (the A1 collect_list-nondeterminism rule, SURVEY §2.5).
+
+    Per-turn formatting uses NULL-PROPAGATING concat (not concat_ws): a null
+    role or extracted_text nullifies the whole turn line, which array_join
+    then drops — exactly what the SQL oracle's ``role || ': ' || text`` +
+    ``string_agg`` does.  (Today the kernel fillna('')s, so no caller emits
+    nulls; this pins the semantics so a future null-emitting path cannot
+    silently diverge from the oracle.)
     """
     turn = F.struct(
         F.col("turn_idx"), F.col("role"), F.col("extracted_text"))
@@ -60,8 +67,8 @@ def assemble_conversations(extracted: DataFrame) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(turn)),
-                    lambda t: F.concat_ws(
-                        ": ", t["role"], t["extracted_text"])),
+                    lambda t: F.concat(
+                        t["role"], F.lit(": "), t["extracted_text"])),
                 "\n").alias("doc_text"),
         )
         .withColumn("doc_chars", F.length("doc_text").cast("bigint"))

@@ -94,12 +94,61 @@ def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     it), so a file with giant row groups can report many partitions while the scan
     effectively runs on a handful of tasks.  Parallelism through this no-op is
     therefore bounded by row-group granularity — lay out hash-heavy corpora with
-    small row groups (our sinks use 8192 rows), as tools/bench_cluster.py does."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    small row groups (our sinks use 8192 rows), as tools/bench_cluster.py does.
+
+    The split estimate uses SCAN METADATA only (``inputFiles`` + local file
+    sizes / ``files.maxPartitionBytes``), not ``df.rdd.getNumPartitions()`` —
+    the RDD probe forced a full physical-plan + RDD conversion at plan time.
+    Non-local storage (hdfs/s3) short-circuits to no-op: those sources are
+    byte-bounded by the scanner itself, which is exactly the case the guard
+    existed to protect."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    splits = _estimated_scan_splits(df)
+    if splits is not None and splits >= spark.sparkContext.defaultParallelism:
         return df
     return df.repartition(target)
+
+
+def _size_bytes(conf_val: str) -> int:
+    """Parse Spark byte-size config strings ('134217728', '128m', '1g')."""
+    v = conf_val.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if v and v[-1] in mult:
+        return int(float(v[:-1]) * mult[v[-1]])
+    return int(v)
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Byte-bounded split count of a plain file scan, from metadata alone.
+
+    Returns None when the estimate cannot be made cheaply (non-scan input,
+    remote storage, stat failure) — callers treat None as "don't know".
+    Remote files return a large sentinel instead: a laid-out hdfs/s3 corpus is
+    the no-op case by design (docstring above)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-scan plan (e.g. createDataFrame input)
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    splits = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return 1 << 30  # remote byte-bounded scan: always "enough splits"
+        try:
+            size = os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+        splits += max(1, -(-size // max_pb))
+    return splits
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +379,8 @@ _PAIRS_ARTIFACT: dict[tuple, str] = {}
 # every artifact tmpdir any per-process cache creates, removed at interpreter
 # exit so contract/bench runs leave nothing behind in /tmp
 _ARTIFACT_DIRS: list[str] = []
+_ATEXIT_REGISTERED = False  # dedicated flag: list emptiness is not a proxy
+# (tests drain the list via remove(), which would re-register the hook)
 
 
 def artifact_tmpdir(prefix: str) -> str:
@@ -339,9 +390,11 @@ def artifact_tmpdir(prefix: str) -> str:
     import atexit
     import tempfile
 
+    global _ATEXIT_REGISTERED
     d = tempfile.mkdtemp(prefix=prefix)
-    if not _ARTIFACT_DIRS:
+    if not _ATEXIT_REGISTERED:
         atexit.register(_cleanup_artifact_dirs)
+        _ATEXIT_REGISTERED = True
     _ARTIFACT_DIRS.append(d)
     return d
 
