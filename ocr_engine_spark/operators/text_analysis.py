@@ -279,39 +279,67 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (proportional thinning); this REWEIGHTS the corpus to target
     shares under a budget, which requires per-source quotas and ranks.
 
-    Scale shape: one groupBy(source) for stats (tiny), totals via a window
-    over that one-row-per-source frame (no second corpus scan), one
-    row_number window per source, one broadcast quota join — no all-corpus
-    sort, no driver collect.  Weights derive from the source name (w in
-    1..4) so the query is scale-factor-free."""
+    Scale shape (two-phase bucketed rank — the r04 single-sort fix): a plain
+    ``row_number() OVER (PARTITION BY source ORDER BY md5)`` sorts each
+    source's ENTIRE doc set in ONE task, so parallelism is bounded by source
+    count and a dominant source at 100 TB becomes a single-machine sort.
+    Instead the md5 keyspace is split by its first two hex chars into 256
+    buckets per source; the global per-source rank decomposes exactly as
+
+        mix_rank = (#docs of this source in EARLIER buckets) + rank within
+                   (source, bucket)
+
+    because the bucket is a PREFIX of the sort key.  The pipeline is then:
+    (1) ONE corpus pass counts (source, bucket) cells, map-side combined to a
+    ~256 x #sources stats frame that also yields per-source totals, corpus
+    totals and quotas (the ``offset == 0`` row is each source's unique first
+    cell, so summing w over those rows gives wsum without a distinct-sources
+    branch — no second corpus scan, no subtree re-execution); (2) windows
+    over the tiny stats frame compute quotas and cumulative bucket offsets;
+    (3) one broadcast join tags every doc with its cell's (offset, quota, w),
+    and cells whose offset already exceeds the quota are dropped BEFORE any
+    sort (~60% of the corpus is never sorted — threshold selection by
+    scan-and-filter); (4) one row_number window per surviving (source,
+    bucket) cell ranks in parallel tasks of ~|source|/256 rows.  Output
+    (including mix_rank values) is byte-identical to the single-sort
+    spelling, which is what the oracle replays.  Weights derive from the
+    source name (w in 1..4) so the query is scale-factor-free."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     w_expr = (F.ascii(F.substring("source", -1, 1)) % 4 + 1).cast("bigint")
-    stats = (
-        docs.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("w", w_expr)
-    )
-    # totals via a window over the TINY per-source stats frame (one row per
-    # source): a separate stats.agg() branch would re-execute the groupBy
-    # subtree and pay a second full corpus scan in a headline-timed query
     wall = Window.partitionBy()
-    quota = (
-        stats
-        .withColumn("total", F.sum("n_docs").over(wall))
-        .withColumn("wsum", F.sum("w").over(wall))
+    woff = (Window.partitionBy("source").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cells = (
+        docs.withColumn("bucket", bucket)
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+        .withColumn("w", w_expr)
+        .withColumn("offset", F.coalesce(F.sum("n_cell").over(woff),
+                                         F.lit(0)).cast("bigint"))
+        .withColumn("total", F.sum("n_cell").over(wall))
+        .withColumn(
+            "wsum",
+            F.sum(F.when(F.col("offset") == 0, F.col("w"))).over(wall))
         .withColumn(
             "quota",
             F.floor(F.col("total") * 0.4 * F.col("w") / F.col("wsum"))
             .cast("bigint"))
-        .select("source", "w", "quota")
+        # threshold selection: a cell whose offset is already >= quota
+        # contributes nothing — its docs are filtered before any sort
+        .where(F.col("offset") < F.col("quota"))
+        .select("source", "bucket", "offset", "w", "quota")
     )
-    rk = Window.partitionBy("source").orderBy(
+    rk = Window.partitionBy("source", "bucket").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
     return (
-        docs.withColumn("mix_rank", F.row_number().over(rk).cast("int"))
-        .join(F.broadcast(quota), "source")
+        docs.withColumn("bucket", bucket)
+        .join(F.broadcast(cells), ["source", "bucket"])
+        .withColumn(
+            "mix_rank",
+            (F.col("offset") + F.row_number().over(rk)).cast("int"))
         .where(F.col("mix_rank") <= F.col("quota"))
         .select("doc_id", "source", "mix_rank", "w", "quota")
     )
