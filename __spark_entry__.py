@@ -49,7 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_engine_spark.streaming import stream as streaming_mod
 
     return {
-        # — never driver-checked before r04 / new / changed this round —
+        # — new / changed in r05 —
+        "kind_dispatch_extract": documents.q_kind_dispatch_extract,
+        # — never driver-checked before r04 / changed in r04 —
         "conv_assemble": conversations.q_conv_assemble,
         "conv_dedup": conversations.q_conv_dedup,
         "source_mix": text_analysis.q_source_mix,
@@ -408,6 +410,44 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % {PLANT_MOD} = {PLANT_RESIDUE})
             SELECT md5(text) AS text_md5, CAST(1 AS INTEGER) AS n_rows
             FROM corpus GROUP BY md5(text)
+        """,
+        # S1 polymorphic declared-kind dispatch (tool value -> parser table):
+        # doc_id % 4 picks payload format + declaring tool value; all four
+        # parsers run on their DECLARED path (no sniff, no E4 vote).  k=0 is
+        # the visibility plant: '- ' || text would vote markdown, but the
+        # declared plain kind keeps the literal marker (extracted keeps '- ',
+        # fmt='plain', strip_ratio exactly 0).  k=1/2/3 replay the markdown /
+        # html / json-envelope closed forms of the sibling extract oracles.
+        "kind_dispatch_extract": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN 'render_plain' WHEN 1 THEN 'render_markdown'
+                        WHEN 2 THEN 'render_html' ELSE 'tool_json'
+                   END AS tool,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN '- ' || text
+                        WHEN 1 THEN source || chr(10) || text
+                        WHEN 2 THEN text || ' ' || source
+                        ELSE text
+                   END AS extracted_text,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN 'plain' WHEN 1 THEN 'markdown'
+                        WHEN 2 THEN 'html' ELSE 'json'
+                   END AS fmt,
+                   CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 2 ELSE 1 END
+                        AS INTEGER) AS n_spans,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN 0.0
+                        WHEN 1 THEN 1.0
+                             - CAST(length(source) + 1 + length(text) AS DOUBLE)
+                             / CAST(5 + length(source) + length(text) AS DOUBLE)
+                        WHEN 2 THEN 1.0
+                             - CAST(length(text) + 1 + length(source) AS DOUBLE)
+                             / CAST(63 + length(text) + length(source) AS DOUBLE)
+                        ELSE 1.0 - CAST(length(text) AS DOUBLE)
+                             / CAST(length(text) + 14 AS DOUBLE)
+                   END AS strip_ratio
+            FROM documents
         """,
         # kernel detect->NMS->stitch path over an SQL-constructed HTML payload:
         # '<html><script>var x = 1;</script><p>' || text || '</p><a href="u">'

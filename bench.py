@@ -86,6 +86,7 @@ HEADLINE = [
     "media_frames",
     "media_decode",
     "tool_dispatch_extract",
+    "kind_dispatch_extract",
     "stream_dedup_parity",
     "span_svg",
     "conv_assemble",

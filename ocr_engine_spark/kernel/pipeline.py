@@ -249,7 +249,10 @@ def _deskew_columns(canon: pd.Series):
     return desk, nb == 0, angle
 
 
-def _route_masks(desk: pd.Series, cfg: EngineConfig, declared_json=None):
+_KNOWN_KINDS = ("json", "html", "markdown", "plain")
+
+
+def _route_masks(desk: pd.Series, cfg: EngineConfig, declared=None):
     """Route every row to its format closed form with ONE pass per gate
     predicate (the four per-format masks each rescanned the whole batch with
     the same contains() calls — up to 4x duplicate C-level regex work on the
@@ -266,14 +269,27 @@ def _route_masks(desk: pd.Series, cfg: EngineConfig, declared_json=None):
     - all: no raw control chars, and the line-length bound that proves the E10
       token-truncation path cannot fire (cap 0 = disabled).
 
-    ``declared_json`` rows (S1 payload-kind dispatch) skip the content sniff
-    entirely: they route to the JSON closed form whenever the SAFETY gates
-    hold (ctrl/len, and tag-free so the invalid-JSON plain fallback stays in
-    its proven closed form — parse_plain's only content sensitivity is the
-    tag penalty); everything else about their content is irrelevant because
-    no other parser ever runs for them.  Declared rows failing the safety
-    gates take the per-turn dispatch path instead.
+    ``declared`` rows (S1 payload-kind dispatch, a string per row with '' =
+    undeclared) skip the content sniff entirely: a known declared kind routes
+    to ITS closed form whenever the safety gates hold, and the E4 vote is
+    suppressed for it (the returned ``forced`` mask marks those rows for the
+    per-format output functions).  Gate per declared kind:
+
+    - json / plain: ctrl/len + tag-free — the invalid-JSON plain fallback and
+      parse_plain itself are proven closed forms only without the tag
+      penalty (parse_plain's single content sensitivity);
+    - markdown: same, plus the marker gate — parse_markdown REJECTS a
+      marker-free payload (returns None), which per detect_spans' declared
+      semantics demotes to the plain fallback, i.e. the plain closed form;
+    - html: ctrl/len + tag present (parse_html rejects tag-free payloads ->
+      plain fallback) — no other content sensitivity because no competing
+      parser runs when forced.
+
+    Declared rows failing their safety gates take the per-turn dispatch path
+    (exact by construction).  An UNKNOWN declared kind sniffs like an
+    undeclared row (detect_spans' permissive fall-through).
     """
+    n = len(desk)
     g_tag = desk.str.contains(_HTML_TAG, regex=True).to_numpy()
     g_md = desk.str.contains(_MD_GATE, regex=True).to_numpy()
     g_json = desk.str.lstrip().str.slice(0, 1).isin(("{", "[")).to_numpy()
@@ -281,22 +297,35 @@ def _route_masks(desk: pd.Series, cfg: EngineConfig, declared_json=None):
     if cfg.max_seq_len:
         g_len = (desk.str.len() <= 2 * cfg.max_seq_len - 1).to_numpy()
     else:
-        g_len = np.ones(len(desk), dtype=bool)
+        g_len = np.ones(n, dtype=bool)
     base = ~g_ctrl & g_len
-    plain = base & ~g_tag & ~g_md & ~g_json
-    md = base & g_md & ~g_tag & ~g_json
+    undecl = (np.ones(n, dtype=bool) if declared is None
+              else ~np.isin(declared, _KNOWN_KINDS))
+    plain = base & ~g_tag & ~g_md & ~g_json & undecl
+    md = base & g_md & ~g_tag & ~g_json & undecl
     if cfg.score_thr > 0.2:
-        html = base & g_tag & ~g_json
+        html = base & g_tag & ~g_json & undecl
     else:
-        html = np.zeros(len(desk), dtype=bool)
-    json_ = base & g_json & ~g_tag & ~g_md
-    if declared_json is not None and declared_json.any():
-        dispatch = declared_json & base & ~g_tag
-        plain = plain & ~declared_json
-        md = md & ~declared_json
-        html = html & ~declared_json
-        json_ = (json_ & ~declared_json) | dispatch
-    return plain, md, html, json_
+        html = np.zeros(n, dtype=bool)
+    json_ = base & g_json & ~g_tag & ~g_md & undecl
+    forced = np.zeros(n, dtype=bool)
+    if not undecl.all():
+        safe = base & ~g_tag
+        d_json = (declared == "json") & safe
+        d_plain = (declared == "plain") & safe
+        d_md = (declared == "markdown") & safe & g_md
+        d_md_fb = (declared == "markdown") & safe & ~g_md  # reject -> plain
+        if cfg.score_thr > 0.2:
+            d_html = (declared == "html") & base & g_tag
+        else:
+            d_html = np.zeros(n, dtype=bool)
+        d_html_fb = (declared == "html") & safe & ~g_tag   # reject -> plain
+        plain |= d_plain | d_md_fb | d_html_fb
+        md |= d_md
+        html |= d_html
+        json_ |= d_json
+        forced = d_json | d_md | d_html
+    return plain, md, html, json_, forced
 
 
 def _line_frame(desk: pd.Series):
@@ -430,7 +459,8 @@ _MD_FENCE_LINE = _MD_FENCE
 _MD_LEAD_STRIP = _MD_LEAD
 
 
-def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
+def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
+                forced=None):
     """Closed-form MARKDOWN outputs (detect.parse_markdown + recognition):
     fence lines toggle skipping (parity of fences before the line), leading
     heading/list markers are excluded from spans, recognition drops inline
@@ -439,6 +469,8 @@ def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     Returns (extracted, spans, n_spans, strip_ratio, plain_wins) — rows where
     the PLAIN parser finds strictly more passing spans (the E4 vote) carry
     plain_wins=True and must be recomputed via the plain closed form.
+    ``forced`` rows (declared-kind dispatch) never lose the vote: markdown
+    wins outright, matching detect_spans' declared semantics.
     """
     k = len(desk)
     lines, row, line_start = _line_frame(desk)
@@ -472,6 +504,8 @@ def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
     np.add.at(pc, row[plain_pass], 1)
     np.add.at(mc, row[md_pass], 1)
     plain_wins = pc > mc
+    if forced is not None:
+        plain_wins &= ~forced  # declared markdown: no E4 vote
 
     keep = md_pass & ~plain_wins[row]
     # span offsets: original detected interval = trim of the marker-stripped
@@ -552,12 +586,14 @@ def _html_runs(text: str):
     return out
 
 
-def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
+def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
+                  forced=None):
     """Closed-form HTML outputs + the exact E4 vote.
 
     Returns (extracted, spans, n_spans, strip_ratio, html_wins): rows where the
     markdown or plain parser finds strictly more passing spans carry
-    html_wins=False and must run the per-turn oracle instead.
+    html_wins=False and must run the per-turn oracle instead.  ``forced`` rows
+    (declared-kind dispatch) win outright — no vote runs for them.
     """
     k = len(desk)
     texts = desk.to_numpy()
@@ -619,6 +655,8 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
         np.add.at(cm, lrow[mmask], 1)
 
     html_wins = ~(md_app & (cm > ch)) & ~(cp > ch)
+    if forced is not None:
+        html_wins |= forced  # declared html: no E4 vote
 
     fkeep = keep & html_wins[rrow] if len(rrow) else keep
     kseg = seg[fkeep].reset_index(drop=True)
@@ -809,13 +847,13 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     tidx = pdf["turn_idx"].to_numpy()
     raw = pdf["text"].fillna("").astype(str).reset_index(drop=True)
     raw_len = raw.str.len().to_numpy()
-    # S1 payload-kind dispatch: an optional input column declares tool-JSON
-    # payloads, which then skip content sniffing and the E4 vote entirely
+    # S1 payload-kind dispatch: an optional input column declares the payload
+    # kind (json/html/markdown/plain), which then skips content sniffing and
+    # the E4 vote entirely; '' = undeclared, unknown kinds sniff permissively
     if "payload_kind" in pdf.columns:
-        declared_json = (
-            pdf["payload_kind"].fillna("").astype(str).to_numpy() == "json")
+        declared = pdf["payload_kind"].fillna("").astype(str).to_numpy()
     else:
-        declared_json = None
+        declared = None
 
     # closed forms assume zero-margin span prep, that NMS keeps disjoint
     # spans (a pathological negative iou_thr suppresses even non-overlapping
@@ -835,8 +873,8 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         if cfg.max_chars:
             canon = canon.str.slice(0, cfg.max_chars)
         desk, is_blank_v, angle_v = _deskew_columns(canon)
-        fast, md_fast, html_fast, json_fast = _route_masks(
-            desk, cfg, declared_json)
+        fast, md_fast, html_fast, json_fast, forced = _route_masks(
+            desk, cfg, declared)
     else:  # nonzero margins: closed form not proven — everything per-turn
         # four independent arrays: the vec_ok branch mutates these masks in
         # place, so sharing one zeros array here would couple them
@@ -844,6 +882,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         md_fast = np.zeros(n, dtype=bool)
         html_fast = np.zeros(n, dtype=bool)
         json_fast = np.zeros(n, dtype=bool)
+        forced = np.zeros(n, dtype=bool)
 
     extracted = np.empty(n, dtype=object)
     spans = np.empty(n, dtype=object)
@@ -869,7 +908,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     if len(jpos):
         j_ext, j_spans, j_n, j_ratio, json_wins = _json_outputs(
             desk.iloc[jpos].reset_index(drop=True), raw_len[jpos], cfg,
-            forced=None if declared_json is None else declared_json[jpos])
+            forced=None if declared is None else forced[jpos])
         jwin = jpos[json_wins]
         _fill_vectorized(jwin, [j_ext[j] for j in np.flatnonzero(json_wins)],
                          [j_spans[j] for j in np.flatnonzero(json_wins)],
@@ -881,7 +920,8 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     hpos = np.flatnonzero(html_fast)
     if len(hpos):
         h_ext, h_spans, h_n, h_ratio, html_wins = _html_outputs(
-            desk.iloc[hpos].reset_index(drop=True), raw_len[hpos], cfg)
+            desk.iloc[hpos].reset_index(drop=True), raw_len[hpos], cfg,
+            forced=None if declared is None else forced[hpos])
         hwin = hpos[html_wins]
         _fill_vectorized(hwin, [h_ext[j] for j in np.flatnonzero(html_wins)],
                          [h_spans[j] for j in np.flatnonzero(html_wins)],
@@ -891,7 +931,8 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     mpos = np.flatnonzero(md_fast)
     if len(mpos):
         m_ext, m_spans, m_n, m_ratio, plain_wins = _md_outputs(
-            desk.iloc[mpos].reset_index(drop=True), raw_len[mpos], cfg)
+            desk.iloc[mpos].reset_index(drop=True), raw_len[mpos], cfg,
+            forced=None if declared is None else forced[mpos])
         mwin = mpos[~plain_wins]
         _fill_vectorized(mwin, [m_ext[j] for j in np.flatnonzero(~plain_wins)],
                          [m_spans[j] for j in np.flatnonzero(~plain_wins)],
@@ -910,8 +951,9 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     fast = fast | md_fast | html_fast | json_fast
 
     def _kind(i):  # declared payload kind rides into the per-turn dispatch
-        if declared_json is not None and declared_json[i]:
-            return "json"
+        # (detect_spans itself owns the unknown-kind fall-through semantics)
+        if declared is not None and declared[i]:
+            return declared[i]
         return None
 
     if vec_ok:

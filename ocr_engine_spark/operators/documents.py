@@ -204,6 +204,67 @@ def q_tool_dispatch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted_text", "fmt", "n_spans", "strip_ratio")
 
 
+KIND_TOOLS = {  # tool value -> declared payload kind (S1 polymorphic read)
+    "render_plain": "plain",
+    "render_markdown": "markdown",
+    "render_html": "html",
+    "tool_json": "json",
+}
+
+
+def kind_transcripts(docs: DataFrame) -> DataFrame:
+    """Four-way declared-kind corpus: doc_id % 4 picks the payload format AND
+    the ``tool`` value that declares it (KIND_TOOLS).  The k=0 branch is the
+    dispatch-visibility plant: its payload carries a markdown list marker, so
+    the content vote would parse it as markdown (marker stripped) — only the
+    DECLARED plain kind keeps the literal '- ' prefix in the output."""
+    k = F.col("doc_id") % 4
+    payload = (
+        F.when(k == 0, F.concat(F.lit("- "), F.col("text")))
+        .when(k == 1, F.concat(F.lit("# "), F.col("source"),
+                               F.lit("\n- "), F.col("text")))
+        .when(k == 2, F.concat(F.lit(_HTML_PRE), F.col("text"),
+                               F.lit(_HTML_MID), F.col("source"),
+                               F.lit(_HTML_POST)))
+        .otherwise(F.concat(F.lit('{"result": "'), F.col("text"),
+                            F.lit('"}'))))
+    tool = (
+        F.when(k == 0, F.lit("render_plain"))
+        .when(k == 1, F.lit("render_markdown"))
+        .when(k == 2, F.lit("render_html"))
+        .otherwise(F.lit("tool_json")))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        payload.alias("text"),
+        tool.alias("tool"),
+    )
+
+
+def q_kind_dispatch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 payload-kind dispatch over the FULL parser set — the polymorphic
+    reader analogue (/root/reference/src/utils.py:179-188) with a
+    tool-value -> kind table instead of the tool-JSON special case.
+
+    Every doc declares one of the four kinds via its ``tool`` value
+    (KIND_TOOLS); all four parsers run on their declared path with NO content
+    sniff and NO E4 vote.  The k=0 rows prove the bypass is observable: their
+    payload '- ' || text would VOTE markdown (marker stripped), but the
+    declared plain kind keeps the literal marker and fmt='plain'.  The oracle
+    replays all four closed forms (plain keep-marker, markdown two-line
+    marker-strip, html boilerplate-strip + stitch, json envelope strip), so
+    declared-kind routing, per-format offsets and strip ratios are all
+    value-checked."""
+    t = kind_transcripts(load(spark, sf_dir, "documents"))
+    out = extract_transcripts(
+        t, num_partitions=spark.sparkContext.defaultParallelism * 2,
+        passthrough=("tool",), tool_kind_map=KIND_TOOLS)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "tool", "extracted_text", "fmt", "n_spans", "strip_ratio")
+
+
 def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The markdown marker-strip + multi-line reading-order path, oracle-checked:
     payload = '# ' || source || newline || '- ' || text.  The markdown parser

@@ -124,7 +124,9 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                         num_partitions: int | None = None,
                         salt_block: int = DEFAULT_SALT_BLOCK,
                         passthrough: tuple[str, ...] = (),
-                        dispatch_tool_json: bool = False) -> DataFrame:
+                        dispatch_tool_json: bool = False,
+                        tool_kind_map: dict[str, str] | None = None
+                        ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted table.
 
     ``dispatch_tool_json=True`` enables the S1 payload-kind dispatch
@@ -133,6 +135,15 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     them on the JSON path directly — no content sniffing, no E4 vote — with a
     permissive plain fallback for invalid payloads (S4).  The declared kind
     travels as a ``payload_kind`` column consumed (not emitted) by the kernel.
+
+    ``tool_kind_map`` is the FULLY polymorphic form of the same dispatch: a
+    {tool value -> payload kind} mapping (kinds: json/html/markdown/plain)
+    declares each turn's parser from its ``tool`` column, covering the whole
+    parser set with no sniff — the reference reader's extension->parser table
+    rather than its single tool-JSON special case.  Unmapped or null tool
+    values sniff as usual; unknown kind strings fall through to the content
+    vote inside the kernel (S4 permissive).  Mutually exclusive with
+    ``dispatch_tool_json``.
 
     Pure DataFrame -> DataFrame (lazy); the caller picks the action/sink.
     ``passthrough`` columns of the input ride through the kernel unchanged and are
@@ -160,8 +171,17 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     unknown source layout inherits upstream skew with no whale bound — such call
     sites should pass ``num_partitions`` explicitly to get the salted exchange.
     """
+    if dispatch_tool_json and tool_kind_map:
+        raise ValueError("dispatch_tool_json and tool_kind_map are exclusive")
     cols = ["conv_id", "turn_idx", "text", *passthrough]
-    if dispatch_tool_json:
+    if tool_kind_map:
+        # literal map lookup stays JVM-side; a miss yields null -> sniff
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(tool_kind_map.items()) for x in kv])
+        pruned = df.withColumn(
+            "payload_kind", mapping[F.col("tool")]
+        ).select(*cols, "payload_kind")
+    elif dispatch_tool_json:
         # derive the declared kind BEFORE pruning: `tool` need not (and should
         # not have to) ride in passthrough for dispatch to work
         pruned = df.withColumn(

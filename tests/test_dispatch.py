@@ -89,3 +89,86 @@ def test_unknown_declared_kind_falls_back_to_content_vote():
     r = extract_turn(p, declared_kind="tool_json")
     assert r["fmt"] == extract_turn(p)["fmt"]  # same as the undeclared vote
     assert r["extracted_text"] == extract_turn(p)["extracted_text"]
+
+
+# ---------------------------------------------------------------------------
+# declared kinds beyond JSON (html / markdown / plain) — full S1 polymorphism
+
+
+KIND_CASES = [
+    # (payload, declared_kind) — chosen so several rows' dispatch result
+    # DIFFERS from the content vote (the bypass is observable, not vacuous)
+    ("- item one\n- item two", "plain"),          # vote: markdown; forced plain
+    ("# head\nplain body line", "markdown"),      # tie case, forced anyway
+    ("- a\n```\nfenced body line\n```", "markdown"),  # vote: plain (2>1); forced md
+    ("<p>one two</p><p>three four</p>", "html"),  # vote would also pick html
+    ('{"a": "<p>one</p>", "b": "x y", "c": "y z", "d": "z w"}', "html"),
+    #                                          ^ vote: json (4>3); forced html
+    ("no markers at all here", "markdown"),       # parser rejects -> plain fallback
+    ("no tags at all here", "html"),              # parser rejects -> plain fallback
+    ("plain stays plain", "plain"),
+    ('{"result": "hello"}', "plain"),             # vote: json; forced plain
+    ("<p>tagged</p> content", "plain"),           # tag penalty path (slow-path safe gate)
+    ("- md [x](y) **bold**", "yamlish"),          # unknown kind -> content vote
+    ("", "markdown"),                             # empty payload
+]
+
+
+def _kind_frame(cases):
+    return pd.DataFrame({
+        "conv_id": [f"k{i}" for i in range(len(cases))],
+        "turn_idx": np.arange(len(cases), dtype="int32"),
+        "text": [c[0] for c in cases],
+        "payload_kind": [c[1] for c in cases],
+    })
+
+
+def _assert_kind_batch_matches(cfg):
+    out = extract_frame(_kind_frame(KIND_CASES), cfg)
+    for i, (t, d) in enumerate(KIND_CASES):
+        want = extract_turn(t, cfg, d)
+        row = out.iloc[i]
+        assert row["fmt"] == want["fmt"], (i, t, d, row["fmt"], want["fmt"])
+        assert row["extracted_text"] == want["extracted_text"], (i, t, d)
+        assert list(row["spans"]) == want["spans"], (i, t, d)
+        assert float(row["strip_ratio"]) == want["strip_ratio"], (i, t, d)
+
+
+def test_declared_kind_batch_matches_per_turn_default_config():
+    _assert_kind_batch_matches(DEFAULT_CONFIG)
+
+
+def test_declared_kind_batch_matches_per_turn_non_vectorized_config():
+    _assert_kind_batch_matches(
+        DEFAULT_CONFIG.override(extend_span_start=0.1, extend_span_end=0.05))
+
+
+def test_declared_plain_keeps_markers_declared_md_drops_them():
+    """The observable bypass: identical payload, three declared kinds, three
+    different parses — marker kept (plain), marker stripped (markdown),
+    content vote (undeclared -> markdown wins on the marker)."""
+    p = "- item one"
+    assert extract_turn(p, declared_kind="plain")["extracted_text"] == "- item one"
+    assert extract_turn(p, declared_kind="markdown")["extracted_text"] == "item one"
+    assert extract_turn(p)["fmt"] == "markdown"
+
+
+def test_declared_md_overrides_plain_vote_win():
+    """Fenced payload: plain finds 2 passing spans, markdown only 1 — the
+    vote picks plain, but the declaration must force markdown."""
+    p = "- a\n```\nfenced body line\n```"
+    assert extract_turn(p)["fmt"] == "plain"
+    r = extract_turn(p, declared_kind="markdown")
+    assert r["fmt"] == "markdown"
+    assert r["extracted_text"] == "a"
+
+
+def test_declared_html_on_json_payload():
+    """A '{'-starting payload the vote gives to JSON (4 value spans > 3 html
+    runs) declared html must run the HTML parser instead — the tag inside the
+    JSON string is real markup to it."""
+    p = '{"a": "<p>one</p>", "b": "x y", "c": "y z", "d": "z w"}'
+    assert extract_turn(p)["fmt"] == "json"
+    r = extract_turn(p, declared_kind="html")
+    assert r["fmt"] == "html"
+    assert "one" in r["extracted_text"]
