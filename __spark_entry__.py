@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # — new / changed in r05 —
         "kind_dispatch_extract": documents.q_kind_dispatch_extract,
+        "pipeline_e2e": conversations.q_pipeline_e2e,
         # — never driver-checked before r04 / changed in r04 —
         "conv_assemble": conversations.q_conv_assemble,
         "conv_dedup": conversations.q_conv_dedup,
@@ -398,6 +399,75 @@ def oracle_sql() -> dict[str, str]:
               FROM all_docs)
             SELECT conv_id, doc_md5, n_copies, dup_rank
             FROM g WHERE n_copies > 1
+        """,
+        # end-to-end composition: dispatch extraction -> 1200-char budget
+        # truncation -> assembly -> conversation dedup (rank-1 survivor per
+        # digest; plants at suffix % CONV_DUP_MOD == CONV_DUP_RESIDUE ride the
+        # whole chain) -> greedy 512-token sequence packing per 4-way shard.
+        # The corpus is trim/collapse-invariant, so extraction passes text
+        # through and every stage is an exact SQL replay.
+        "pipeline_e2e": f"""
+            WITH RECURSIVE t AS (
+              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                     text AS extracted_text
+              FROM documents),
+            tp AS (
+              SELECT * FROM t
+              UNION ALL
+              SELECT 'dup_' || string_split(conv_id, '_')[2], turn_idx, role,
+                     extracted_text
+              FROM t
+              WHERE CAST(string_split(conv_id, '_')[2] AS INTEGER)
+                    % {CONV_DUP_MOD} = {CONV_DUP_RESIDUE}),
+            c AS (
+              SELECT *,
+                     sum(length(role) + 2 + length(extracted_text) + 1)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) - 1 AS prefix_len
+              FROM tp),
+            asm AS (
+              SELECT conv_id,
+                     string_agg(role || ': ' || extracted_text,
+                          chr(10) ORDER BY turn_idx) AS doc_text
+              FROM c WHERE prefix_len <= 1200 GROUP BY conv_id),
+            surv AS (
+              SELECT conv_id, doc_text FROM (
+                SELECT *, row_number() OVER (PARTITION BY md5(doc_text)
+                          ORDER BY conv_id) AS rk
+                FROM asm) WHERE rk = 1),
+            n AS (
+              SELECT conv_id,
+                     CAST(string_split(conv_id, '_')[2] AS BIGINT) AS doc_id,
+                     'shard_' || CAST(CAST(string_split(conv_id, '_')[2]
+                          AS BIGINT) % 4 AS VARCHAR) AS source,
+                     CAST(len(string_split_regex(trim(doc_text), ' +'))
+                          AS BIGINT) AS n_tokens,
+                     row_number() OVER (
+                       PARTITION BY CAST(string_split(conv_id, '_')[2]
+                                         AS BIGINT) % 4
+                       ORDER BY CAST(string_split(conv_id, '_')[2] AS BIGINT))
+                       AS rn
+              FROM surv),
+            p AS (
+              SELECT conv_id, doc_id, source, n_tokens, rn,
+                     CAST(0 AS INTEGER) AS seq_id,
+                     CAST(0 AS BIGINT) AS seq_offset,
+                     n_tokens AS fill
+              FROM n WHERE rn = 1
+              UNION ALL
+              SELECT n.conv_id, n.doc_id, n.source, n.n_tokens, n.rn,
+                     CAST(CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512
+                          THEN p.seq_id + 1 ELSE p.seq_id END AS INTEGER),
+                     CAST(CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512
+                          THEN 0 ELSE p.fill END AS BIGINT),
+                     CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512
+                          THEN n.n_tokens ELSE p.fill + n.n_tokens END
+              FROM n JOIN p ON n.source = p.source AND n.rn = p.rn + 1)
+            SELECT conv_id, doc_id, source, n_tokens, seq_id, seq_offset
+            FROM p
         """,
         # the streaming dedup surface, batch-verified: one row per distinct
         # digest of the planted-duplicate corpus, n_rows == 1 iff the stream

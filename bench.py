@@ -93,6 +93,7 @@ HEADLINE = [
     "conv_dedup",
     "source_mix",
     "conv_assemble_capped",
+    "pipeline_e2e",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)

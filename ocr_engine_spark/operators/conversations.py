@@ -125,6 +125,62 @@ def q_conv_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_chars", "doc_text")
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-pipeline composition — five operators chained
+    the way a real run chains them, value-checked as ONE oracle row:
+
+        declared-kind dispatch extraction (S1 + fused kernel)
+        -> truncate_to_budget (context cap, 1200 chars)
+        -> assemble_conversations (turn order, role prefixes)
+        -> conversation-level exact dedup (keep rank-1 survivor per digest)
+        -> pack_sequences (greedy 512-token training sequences per shard)
+
+    Each stage is individually green elsewhere; this row pins the BETWEEN-
+    stage contracts (column names/types handed across operators, ordering
+    guarantees surviving the chain, plants flowing through every stage).
+    Duplicate conversations are planted at the TRANSCRIPT level (the
+    q_conv_dedup plant) so the dedup stage provably drops them after they
+    ride through extraction, truncation and assembly.  Survivors map to
+    packing docs via their conv suffix (unique after dedup: 'conv_' < 'dup_'
+    keeps the base copy), sharded 4 ways so packing parallelizes per group.
+
+    One kernel pass, one assembly exchange, one digest window, one grouped
+    packing map — no stage re-executes an upstream subtree."""
+    from pyspark.sql.window import Window
+
+    from ocr_engine_spark.operators.documents import tool_transcripts
+    from ocr_engine_spark.operators.extract import extract_transcripts
+    from ocr_engine_spark.operators.relational import load
+    from ocr_engine_spark.operators.text_analysis import pack_sequences
+
+    transcripts = tool_transcripts(load(spark, sf_dir, "documents"))
+    suffix = F.split(F.col("conv_id"), "_").getItem(1).cast("int")
+    planted = transcripts.where(
+        suffix % CONV_DUP_MOD == CONV_DUP_RESIDUE
+    ).withColumn("conv_id", F.concat(F.lit("dup_"), suffix.cast("string")))
+    extracted = extract_transcripts(
+        transcripts.unionByName(planted),
+        num_partitions=spark.sparkContext.defaultParallelism * 2,
+        passthrough=("role", "tool", "ts"),
+        dispatch_tool_json=True,
+    )
+    asm = assemble_conversations(truncate_to_budget(extracted, 1200))
+    surv = (
+        asm.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.md5("doc_text")).orderBy("conv_id")))
+        .where(F.col("rk") == 1)
+    )
+    sfx = F.split(F.col("conv_id"), "_").getItem(1).cast("bigint")
+    docs = surv.select(
+        sfx.alias("doc_id"),
+        F.concat(F.lit("shard_"), (sfx % 4).cast("string")).alias("source"),
+        F.col("doc_text").alias("text"))
+    return pack_sequences(docs, budget=512).withColumn(
+        "conv_id", F.concat(F.lit("conv_"), F.col("doc_id").cast("string")))
+
+
 def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-CONVERSATION groups over assembled documents.
 
