@@ -62,11 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": similarity.q_embedding_neardup,
         "embedding_neardup_ivf": similarity.q_embedding_neardup_ivf,
         "binary_features": multimodal.q_binary_features,
-        "media_frames": multimodal.q_media_frames,
         "tool_dispatch_extract": documents.q_tool_dispatch_extract,
         "stream_dedup_parity": streaming_mod.q_stream_dedup_parity,
         "exact_dedup": dedup.q_exact_dedup,
-        "customers_without_orders": relational.q_customers_without_orders,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "dedup_clusters": dedup.q_dedup_clusters,
         "dedup_canonical": dedup.q_dedup_canonical,
@@ -80,9 +78,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "output_keys": documents.q_output_keys,
         "tsv_lines": documents.q_tsv_lines,
         "strip_ratio_by_source": documents.q_strip_ratio_by_source,
-        # — relational surface (joins / aggs / windows) —
-        "event_sessions": relational.q_event_sessions,
-        "event_rolling": relational.q_event_rolling,
         # — text analysis —
         "token_stats": text_analysis.q_token_stats,
         "lang_id": text_analysis.q_lang_id,
@@ -108,12 +103,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": similarity.q_ivf_assign,
         "ivf_topk": similarity.q_ivf_topk,
         "ivf_topk_multiprobe": similarity.q_ivf_topk_multiprobe,
-        # — tail: long-stable rows past the driver's 50-query window
-        #   (driver-green unchanged in both r02 and r03; the IVF queries stay
-        #   INSIDE the window above because their trained-centroids upstream
-        #   changed in r04) —
         "embedding_topk": similarity.q_embedding_topk,
         "multi_source_union": documents.q_multi_source_union,
+        # — tail: long-stable rows past the driver's 50-query window.
+        #   Membership is MECHANICAL now: tools/check_window.py (run by
+        #   tests/test_contract_tail.py) fails if any query whose
+        #   implementing module (transitively) or oracle text changed since
+        #   the last round boundary parks past position 50.  This round the
+        #   kernel/dispatch change dirtied 48 of 64 queries, so the tail is
+        #   the 13 relational rows (driver-green r02+r03+r04 unchanged) plus
+        #   media_frames (r04-green; multimodal.py untouched this round) —
+        "media_frames": multimodal.q_media_frames,
+        "customers_without_orders": relational.q_customers_without_orders,
+        "event_sessions": relational.q_event_sessions,
+        "event_rolling": relational.q_event_rolling,
         "event_windows": relational.q_event_windows,
         "asof_last_order": relational.q_asof_last_order,
         "event_percentiles": relational.q_event_percentiles,

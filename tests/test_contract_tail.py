@@ -38,3 +38,14 @@ def test_tail_query_matches_oracle(spark, name):
     want = con.execute(entry.oracle_sql()[name]).df()
     problems = compare(name, got, want)
     assert not problems, problems
+
+
+def test_changed_queries_sit_inside_driver_window():
+    """Mechanical rotation gate (VERDICT r4 #4): any query whose implementing
+    module — transitively, through ocr_engine_spark.* references — or oracle
+    text changed since the last round-boundary commit must sit in positions
+    1..50 of queries(), where the external driver actually checks it."""
+    from tools.check_window import check
+
+    violations = check()
+    assert not violations, violations
