@@ -123,32 +123,22 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     """Byte-bounded split count of a plain file scan, from metadata alone.
 
     Returns None when the estimate cannot be made cheaply (non-scan input,
-    remote storage, stat failure) — callers treat None as "don't know".
-    Remote files return a large sentinel instead: a laid-out hdfs/s3 corpus is
-    the no-op case by design (docstring above)."""
-    import os
-    from urllib.parse import unquote, urlparse
+    stat failure) — callers treat None as "don't know".  Remote files return
+    a large sentinel instead: a laid-out hdfs/s3 corpus is the no-op case by
+    design (docstring above)."""
+    from ocr_engine_spark.sources.io import scan_file_sizes
 
     try:
-        files = df.inputFiles()
+        if not df.inputFiles():
+            return None
     except Exception:  # non-scan plan (e.g. createDataFrame input)
         return None
-    if not files:
-        return None
-    spark = df.sparkSession
-    max_pb = _size_bytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    splits = 0
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("file", ""):
-            return 1 << 30  # remote byte-bounded scan: always "enough splits"
-        try:
-            size = os.path.getsize(unquote(u.path))
-        except OSError:
-            return None
-        splits += max(1, -(-size // max_pb))
-    return splits
+    sizes = scan_file_sizes(df)
+    if sizes is None:
+        return 1 << 30  # remote byte-bounded scan: always "enough splits"
+    max_pb = _size_bytes(df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"))
+    return sum(max(1, -(-s // max_pb)) for s in sizes)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,61 @@ def salted_key(salt_block: int = DEFAULT_SALT_BLOCK):
     )
 
 
+AUTO = "auto"  # sentinel for extract_transcripts(num_partitions=AUTO)
+AUTO_SKEW_FACTOR = 4.0    # whale file: max size > factor * median size
+AUTO_TINY_FILE_BYTES = 4 << 20  # tiny-file storm: median under 4 MiB...
+AUTO_TINY_FILE_COUNT = 4        # ...across > 4x parallelism files
+
+
+def probe_layout_skew(df: DataFrame, target_bytes: int | None = None,
+                      skew_factor: float = AUTO_SKEW_FACTOR) -> int | None:
+    """Metadata-only skew probe: should this input get the salted exchange?
+
+    Returns a salted partition count, or None for the zero-shuffle path.
+    Decision table (every signal comes from ``inputFiles`` + local file
+    sizes — no job runs, no RDD conversion):
+
+    - NOT a plain scan (post-join/agg input, createDataFrame): SALT — the
+      docstring CAUTION case; such inputs inherit upstream skew with no
+      whale bound, and callers choosing AUTO asked us to decide.
+    - remote scan (hdfs/s3): no shuffle — the scanner byte-bounds its own
+      splits, which is the production no-op case.
+    - whale file (max > ``skew_factor`` x median, and big enough to matter,
+      i.e. above ``target_bytes``): SALT — the Iceberg bucket(conv_id)
+      layout where one bucket holds a 100x conversation; measured 3.3x win
+      in BENCH/SKEW.md.
+    - tiny-file storm (> 4x parallelism files of median < 4 MiB): SALT —
+      compaction, or scheduling drowns the kernel.
+    - balanced local files: no shuffle.
+
+    The salted count is byte-derived: total * 2 (UTF-16-ish in-memory
+    factor) / ``target_bytes``, floored at the default parallelism.
+    """
+    from ocr_engine_spark.sources.io import scan_file_sizes
+
+    if target_bytes is None:  # bind at call time so tests can scale it down
+        target_bytes = TARGET_PARTITION_BYTES
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sizes = scan_file_sizes(df)
+    if sizes is None:
+        try:
+            remote_scan = bool(df.inputFiles())
+        except Exception:
+            remote_scan = False
+        if remote_scan:
+            return None  # byte-bounded splits bound task work
+        return par * 2  # non-scan input: unbounded upstream skew — salt
+    sizes = sorted(sizes)
+    median = sizes[len(sizes) // 2]
+    total = sum(sizes)
+    by_bytes = max(par, int(total * 2 // target_bytes) + 1)
+    if sizes[-1] > max(skew_factor * median, target_bytes):
+        return by_bytes  # whale file
+    if len(sizes) > AUTO_TINY_FILE_COUNT * par and median < AUTO_TINY_FILE_BYTES:
+        return by_bytes  # tiny-file storm: compact through the exchange
+    return None
+
+
 def plan_num_partitions(df: DataFrame, default_parallelism: int,
                         target_bytes: int = TARGET_PARTITION_BYTES,
                         sample_fraction: float | None = None) -> int:
@@ -121,7 +176,7 @@ def plan_num_partitions(df: DataFrame, default_parallelism: int,
 
 
 def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
-                        num_partitions: int | None = None,
+                        num_partitions: int | None | str = None,
                         salt_block: int = DEFAULT_SALT_BLOCK,
                         passthrough: tuple[str, ...] = (),
                         dispatch_tool_json: bool = False,
@@ -165,12 +220,19 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
       compaction).  Key = hash(conv_id, turn_idx // salt_block) so a whale
       conversation splits across tasks (AQE cannot split a fused Python stage's hot
       partition on its own).
+    - ``num_partitions="auto"`` (the ``AUTO`` sentinel): decide from scan
+      METADATA via ``probe_layout_skew`` — whale files and tiny-file storms
+      get the salted exchange, balanced local and remote scans stay
+      zero-shuffle, and non-scan inputs salt conservatively.  Costs no job.
 
     CAUTION (non-scan inputs): the no-shuffle default is byte-bounded only when the
     input IS a byte-bounded scan.  A post-join/post-aggregation DataFrame or an
     unknown source layout inherits upstream skew with no whale bound — such call
-    sites should pass ``num_partitions`` explicitly to get the salted exchange.
+    sites should pass ``num_partitions`` explicitly (or ``AUTO``, which salts
+    them) to get the salted exchange.
     """
+    if num_partitions == AUTO:
+        num_partitions = probe_layout_skew(df)
     if dispatch_tool_json and tool_kind_map:
         raise ValueError("dispatch_tool_json and tool_kind_map are exclusive")
     cols = ["conv_id", "turn_idx", "text", *passthrough]

@@ -32,6 +32,37 @@ def resolve_flavor(source: str, flavor: str = "auto") -> str:
     return "parquet" if looks_like_path else "table"
 
 
+def scan_file_sizes(df: DataFrame) -> list[int] | None:
+    """Byte sizes of a plain file scan's input files, from METADATA only.
+
+    Returns None when the cheap estimate is unavailable: non-scan plans
+    (createDataFrame / post-shuffle inputs raise or list nothing) and remote
+    storage (hdfs/s3 — stat'ing those needs the Hadoop FS round-trip this
+    helper exists to avoid).  Callers own the policy for None.  Used by the
+    layout probes (``operators.dedup.spread``, ``operators.extract``
+    auto-salting) that size or skew-check an exchange without triggering a
+    physical-plan/RDD conversion.
+    """
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-scan plan
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None  # remote storage: no cheap local stat
+        try:
+            sizes.append(os.path.getsize(unquote(u.path)))
+        except OSError:
+            return None
+    return sizes
+
+
 def read_table(spark: SparkSession, source: str, flavor: str = "auto") -> DataFrame:
     """Parquet path or catalog table -> DataFrame."""
     if resolve_flavor(source, flavor) == "parquet":
