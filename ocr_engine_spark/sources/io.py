@@ -70,6 +70,32 @@ def read_table(spark: SparkSession, source: str, flavor: str = "auto") -> DataFr
     return spark.read.table(source)
 
 
+def create_table(df: DataFrame, target: str, flavor: str = "auto",
+                 partition_col: str | None = None) -> None:
+    """Create the target table from ``df`` (Iceberg/catalog `writeTo(...).create()`;
+    Parquet initial write).  Errors if the target already exists — creation is the
+    one write that must NOT be idempotent, so a mis-pointed job fails loudly instead
+    of silently absorbing into an unrelated table.
+
+    ``partition_col`` maps to the catalog partition transform (Iceberg
+    ``partitionedBy``) / the Parquet directory layout.  Catalogs that manage their
+    own layout (e.g. the JDBC V2 catalog the seam test runs against) take the
+    unpartitioned create.
+    """
+    if resolve_flavor(target, flavor) == "parquet":
+        writer = df.write.mode("errorifexists")
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target)
+    else:
+        writer = df.writeTo(target)
+        if partition_col is not None:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(F.col(partition_col))
+        writer.create()
+
+
 def append_table(df: DataFrame, target: str, flavor: str = "auto") -> None:
     """Append rows (Iceberg `writeTo(...).append()` / Parquet append)."""
     if resolve_flavor(target, flavor) == "parquet":
