@@ -256,7 +256,8 @@ def _route_masks(desk: pd.Series, cfg: EngineConfig, declared=None):
     """Route every row to its format closed form with ONE pass per gate
     predicate (the four per-format masks each rescanned the whole batch with
     the same contains() calls — up to 4x duplicate C-level regex work on the
-    flagship hot path).  Returns disjoint (plain, md, html, json) masks.
+    flagship hot path).  Returns ``(plain, md, html, json, forced)``: four
+    disjoint routing masks plus the vote-suppression mask for declared rows.
 
     Gate semantics (each conservative — a False routes to a slower but always-
     exact path):
@@ -319,7 +320,7 @@ def _route_masks(desk: pd.Series, cfg: EngineConfig, declared=None):
             d_html = (declared == "html") & base & g_tag
         else:
             d_html = np.zeros(n, dtype=bool)
-        d_html_fb = (declared == "html") & safe & ~g_tag   # reject -> plain
+        d_html_fb = (declared == "html") & safe  # tag-free reject -> plain
         plain |= d_plain | d_md_fb | d_html_fb
         md |= d_md
         html |= d_html

@@ -128,14 +128,11 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     design (docstring above)."""
     from ocr_engine_spark.sources.io import scan_file_sizes
 
-    try:
-        if not df.inputFiles():
-            return None
-    except Exception:  # non-scan plan (e.g. createDataFrame input)
-        return None
-    sizes = scan_file_sizes(df)
-    if sizes is None:
+    kind, sizes = scan_file_sizes(df)
+    if kind == "remote":
         return 1 << 30  # remote byte-bounded scan: always "enough splits"
+    if kind != "ok":
+        return None  # non-scan input or failed local stat: don't know
     max_pb = _size_bytes(df.sparkSession.conf.get(
         "spark.sql.files.maxPartitionBytes", "134217728"))
     return sum(max(1, -(-s // max_pb)) for s in sizes)

@@ -117,9 +117,10 @@ def probe_layout_skew(df: DataFrame, target_bytes: int | None = None,
     Decision table (every signal comes from ``inputFiles`` + local file
     sizes — no job runs, no RDD conversion):
 
-    - NOT a plain scan (post-join/agg input, createDataFrame): SALT — the
-      docstring CAUTION case; such inputs inherit upstream skew with no
-      whale bound, and callers choosing AUTO asked us to decide.
+    - NOT a plain scan (post-join/agg input, createDataFrame), or a local
+      file that failed to stat: SALT — the docstring CAUTION case; such
+      inputs have no whale bound, and callers choosing AUTO asked us to
+      decide.
     - remote scan (hdfs/s3): no shuffle — the scanner byte-bounds its own
       splits, which is the production no-op case.
     - whale file (max > ``skew_factor`` x median, and big enough to matter,
@@ -138,15 +139,13 @@ def probe_layout_skew(df: DataFrame, target_bytes: int | None = None,
     if target_bytes is None:  # bind at call time so tests can scale it down
         target_bytes = TARGET_PARTITION_BYTES
     par = df.sparkSession.sparkContext.defaultParallelism
-    sizes = scan_file_sizes(df)
-    if sizes is None:
-        try:
-            remote_scan = bool(df.inputFiles())
-        except Exception:
-            remote_scan = False
-        if remote_scan:
-            return None  # byte-bounded splits bound task work
-        return par * 2  # non-scan input: unbounded upstream skew — salt
+    kind, sizes = scan_file_sizes(df)
+    if kind == "remote":
+        return None  # byte-bounded splits bound task work
+    if kind != "ok":
+        # non-scan input (unbounded upstream skew) or a local stat failure
+        # (no whale bound either way) — salt conservatively
+        return par * 2
     sizes = sorted(sizes)
     median = sizes[len(sizes) // 2]
     total = sum(sizes)

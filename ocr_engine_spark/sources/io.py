@@ -32,35 +32,43 @@ def resolve_flavor(source: str, flavor: str = "auto") -> str:
     return "parquet" if looks_like_path else "table"
 
 
-def scan_file_sizes(df: DataFrame) -> list[int] | None:
+def scan_file_sizes(df: DataFrame) -> tuple[str, list[int] | None]:
     """Byte sizes of a plain file scan's input files, from METADATA only.
 
-    Returns None when the cheap estimate is unavailable: non-scan plans
-    (createDataFrame / post-shuffle inputs raise or list nothing) and remote
-    storage (hdfs/s3 — stat'ing those needs the Hadoop FS round-trip this
-    helper exists to avoid).  Callers own the policy for None.  Used by the
-    layout probes (``operators.dedup.spread``, ``operators.extract``
-    auto-salting) that size or skew-check an exchange without triggering a
-    physical-plan/RDD conversion.
+    Returns a discriminated ``(kind, sizes)`` so callers can tell the
+    unavailable cases apart (they demand OPPOSITE policies — a remote scan is
+    the by-design no-op, a failed local stat is "don't know"):
+
+    - ``("ok", sizes)`` — local files, one ``os.path.getsize`` each;
+    - ``("none", None)`` — not a plain file scan (createDataFrame /
+      post-shuffle inputs raise or list nothing);
+    - ``("remote", None)`` — hdfs/s3/…: stat'ing needs the Hadoop FS
+      round-trip this helper exists to avoid;
+    - ``("error", None)`` — a listed local file could not be stat'ed
+      (deleted/unreadable between listing and stat).
+
+    One ``inputFiles()`` JVM round-trip total.  Used by the layout probes
+    (``operators.dedup.spread``, ``operators.extract`` auto-salting) that size
+    or skew-check an exchange without a physical-plan/RDD conversion.
     """
     from urllib.parse import unquote, urlparse
 
     try:
         files = df.inputFiles()
     except Exception:  # non-scan plan
-        return None
+        return ("none", None)
     if not files:
-        return None
+        return ("none", None)
     sizes = []
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
-            return None  # remote storage: no cheap local stat
+            return ("remote", None)
         try:
             sizes.append(os.path.getsize(unquote(u.path)))
         except OSError:
-            return None
-    return sizes
+            return ("error", None)
+    return ("ok", sizes)
 
 
 def read_table(spark: SparkSession, source: str, flavor: str = "auto") -> DataFrame:

@@ -118,5 +118,29 @@ def test_auto_respects_remote_scheme(spark, flat_dir, monkeypatch):
         def sparkSession(self):
             return self._inner.sparkSession
 
-    assert io_mod.scan_file_sizes(Remote(df)) is None
+    assert io_mod.scan_file_sizes(Remote(df)) == ("remote", None)
     assert probe_layout_skew(Remote(df)) is None
+
+
+def test_stat_failure_salts_not_remote(spark, flat_dir):
+    """A listed local file that fails to stat is 'don't know', NOT 'remote':
+    the probe must salt conservatively (no whale bound) and spread's split
+    estimate must return None instead of the remote always-enough sentinel."""
+    import ocr_engine_spark.sources.io as io_mod
+    from ocr_engine_spark.operators.dedup import _estimated_scan_splits
+
+    df = spark.read.parquet(flat_dir)
+    real = df.inputFiles
+
+    class StatFails:
+        def inputFiles(self):
+            return [f + ".GONE" for f in real()]
+
+        @property
+        def sparkSession(self):
+            return df.sparkSession
+
+    assert io_mod.scan_file_sizes(StatFails()) == ("error", None)
+    par = spark.sparkContext.defaultParallelism
+    assert probe_layout_skew(StatFails()) == par * 2
+    assert _estimated_scan_splits(StatFails()) is None

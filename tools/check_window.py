@@ -61,18 +61,54 @@ def _module_name(path: pathlib.Path) -> str:
     return ".".join(parts)
 
 
+def _import_refs(path: pathlib.Path, text: str) -> set[str]:
+    """All ocr_engine_spark modules ``path`` imports, resolved via the AST.
+
+    Catches the spellings the dotted-text regex cannot: ``from
+    ocr_engine_spark import x``, ``import ocr_engine_spark.x as y``, and
+    relative imports (``from . import x``, ``from ..kernel import z``) —
+    resolved against the file's own package — so the gate's soundness does
+    not rest on an import-style convention.  Lazy in-function imports are
+    AST nodes too, so they count.
+    """
+    import ast
+
+    # the package relative imports resolve against: parent for a plain module,
+    # the package itself for an __init__ — both are parts[:-1] ("__init__"
+    # drops away exactly like the module filename does)
+    pkg_parts = list(path.relative_to(REPO).with_suffix("").parts)[:-1]
+    refs: set[str] = set()
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return refs
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            refs.update(a.name for a in node.names)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:  # relative: resolve against this file's package
+                base_parts = pkg_parts[:len(pkg_parts) - (node.level - 1)]
+                base = ".".join(base_parts + ([node.module] if node.module else []))
+            else:
+                base = node.module or ""
+            refs.add(base)
+            refs.update(f"{base}.{a.name}" for a in node.names)
+    return {r for r in refs if r.startswith("ocr_engine_spark")}
+
+
 def reference_graph() -> dict[str, set[str]]:
-    """module -> set of ocr_engine_spark modules its file text references."""
+    """module -> set of ocr_engine_spark modules its file references (dotted
+    text mentions — lazy imports, strings — plus AST-resolved import forms)."""
     graph: dict[str, set[str]] = {}
     for path in (REPO / "ocr_engine_spark").rglob("*.py"):
-        graph[_module_name(path)] = set(_REF.findall(path.read_text()))
+        text = path.read_text()
+        graph[_module_name(path)] = set(_REF.findall(text)) | _import_refs(path, text)
     return graph
 
 
 def dirty_modules(changed: set[str]) -> set[str]:
     """Transitive closure: modules that can reach a changed module."""
     graph = reference_graph()
-    known = set(graph)
     seed = set()
     for f in changed:
         if f.startswith("ocr_engine_spark/") and f.endswith(".py"):
@@ -83,9 +119,9 @@ def dirty_modules(changed: set[str]) -> set[str]:
         for mod, refs in graph.items():
             if mod in dirty:
                 continue
-            # a reference to a package counts as referencing the package's
-            # __init__ module (whose own references chain onward)
-            if any(r in dirty or (r in known and r in dirty) for r in refs):
+            # package references resolve because _module_name maps a package's
+            # __init__.py to the bare package name, so its refs chain onward
+            if any(r in dirty for r in refs):
                 dirty.add(mod)
                 grew = True
         if not grew:
@@ -114,12 +150,12 @@ def check() -> list[str]:
     changed = changed_files(base)
     mods = dirty_modules(changed)
     oracles = dirty_oracles(base)
-    names = list(entrymod.queries())
+    qs = entrymod.queries()
     violations = []
-    for pos, name in enumerate(names):
+    for pos, name in enumerate(qs):
         if pos < WINDOW:
             continue
-        fn = entrymod.queries()[name]
+        fn = qs[name]
         why = []
         if fn.__module__ in mods:
             why.append(f"module {fn.__module__} changed since {base[:8]}")
