@@ -1,0 +1,193 @@
+"""Production entry point: the full pretraining-data pipeline as ONE job.
+
+Chains the stages a real training-data run chains (the composition pinned by
+the ``pipeline_e2e`` contract row), over a transcript table:
+
+    extraction (fused Arrow kernel, declared-kind dispatch, AUTO skew salt)
+    -> truncate_to_budget       (context cap in chars, prefix-only)
+    -> assemble_conversations   (one training document per conversation)
+    -> dedup_conversations      (one survivor per exact-duplicate family)
+    -> pack_sequences           (greedy token packing into training sequences)
+
+Cluster launch (the reference CLI lifecycle, /root/reference/run.py:24-45,
+extended to the pipeline the extracted text feeds):
+
+    zip -r engine.zip ocr_engine_spark/
+    spark-submit --py-files engine.zip jobs/pipeline_job.py \
+        --input warehouse/transcripts --output /data/pretrain_run1 \
+        --run-id r1 --char-budget 16000 --seq-budget 2048 --shards 1024 \
+        --checkpoint-extraction --n-buckets 4096 --wave-buckets 512
+
+Local smoke run:
+
+    python jobs/pipeline_job.py --input tx.parquet --output /tmp/pipe_out \
+        --run-id local --cpus 8 --shards 8
+
+Resume model: the kernel stage dominates cost, so with
+``--checkpoint-extraction`` it runs through the wave-committed
+``run_extraction`` checkpoint (role/tool/ts ride through as passthrough
+columns) — a crashed re-run resumes extraction from the last committed wave
+and recomputes only the cheap downstream stages.  Without the flag the whole
+pipeline is one lineage (fastest when restarts are acceptable).  The packed
+output itself is written via dynamic partition overwrite by shard, so
+re-running the job is idempotent per shard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
+                 char_budget: int = 16000, seq_budget: int = 2048,
+                 shards: int = 64, tool_kind_map: dict[str, str] | None = None,
+                 dispatch_tool_json: bool = False,
+                 checkpoint_extraction: bool = False, n_buckets: int = 32,
+                 salt_block: int = 64, wave_buckets: int | None = None,
+                 cfg=None) -> dict:
+    """The composable core (the CLI below is a thin wrapper).  Returns a
+    summary dict with per-stage counts.
+
+    Stage counts cost one extra aggregation over the ASSEMBLED frame (one row
+    per conversation — orders of magnitude smaller than the turn corpus) and
+    one over the written packed manifest; the turn-level corpus is scanned
+    once (plus once per resumed wave in checkpoint mode).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.config import DEFAULT_CONFIG
+    from ocr_engine_spark.operators.conversations import (
+        assemble_conversations, dedup_conversations, truncate_to_budget,
+    )
+    from ocr_engine_spark.operators.extract import AUTO, extract_transcripts
+    from ocr_engine_spark.operators.text_analysis import pack_sequences
+    from ocr_engine_spark.sources.io import overwrite_partitions
+
+    cfg = cfg or DEFAULT_CONFIG
+    passthrough = ("role", "tool", "ts")
+    if checkpoint_extraction:
+        from ocr_engine_spark.operators.checkpoint import run_extraction
+
+        ext_summary = run_extraction(
+            spark, transcripts, os.path.join(out_dir, "extraction"),
+            run_id=run_id, n_buckets=n_buckets, cfg=cfg,
+            salt_block=salt_block, wave_buckets=wave_buckets,
+            passthrough=passthrough, dispatch_tool_json=dispatch_tool_json,
+            tool_kind_map=tool_kind_map)
+        extracted = spark.read.parquet(ext_summary["data_path"])
+    else:
+        ext_summary = {"mode": "inline"}
+        extracted = extract_transcripts(
+            transcripts, cfg=cfg, num_partitions=AUTO, salt_block=salt_block,
+            passthrough=passthrough, dispatch_tool_json=dispatch_tool_json,
+            tool_kind_map=tool_kind_map)
+
+    asm = assemble_conversations(truncate_to_budget(extracted, char_budget))
+    # assembled = one row per conversation; persist so the dedup survivors,
+    # the packed join-back, and the stage counts reuse one materialization
+    asm.persist(StorageLevel.DISK_ONLY)
+    try:
+        n_convs = asm.count()
+        surv = dedup_conversations(asm)
+        # pack_sequences orders docs by a numeric doc_id; xxhash64(conv_id) is
+        # a deterministic total order for any conv_id alphabet (collisions at
+        # 2^-64 would only merge two manifest identities, not lose text)
+        docs = surv.select(
+            F.xxhash64("conv_id").alias("doc_id"),
+            F.concat(F.lit("shard_"),
+                     F.pmod(F.xxhash64("conv_id"), F.lit(shards))
+                     .cast("string")).alias("source"),
+            F.col("conv_id"), F.col("doc_text").alias("text"))
+        packed = pack_sequences(docs, budget=seq_budget)
+        out = (
+            packed.join(docs.select("doc_id", "conv_id", "text"), "doc_id")
+            .select("conv_id", F.col("text").alias("doc_text"), "n_tokens",
+                    F.col("source").alias("shard"), "seq_id", "seq_offset")
+        )
+        data_path = os.path.join(out_dir, "packed")
+        overwrite_partitions(out, data_path, "shard")
+
+        written = spark.read.parquet(data_path)
+        stats = written.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("shard", "seq_id").alias("n_sequences"),
+            F.sum("n_tokens").alias("n_tokens")).collect()[0]
+        summary = {
+            "run_id": run_id, "extraction": ext_summary,
+            "conversations": n_convs,
+            "survivors": stats["n_docs"],
+            "dropped_duplicates": n_convs - stats["n_docs"],
+            "sequences": stats["n_sequences"],
+            "tokens": int(stats["n_tokens"] or 0),
+            "data_path": data_path,
+        }
+    finally:
+        asm.unpersist()
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--input-flavor", choices=("parquet", "table", "auto"),
+                    default="auto")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--char-budget", type=int, default=16000)
+    ap.add_argument("--seq-budget", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--tool-kind-map", default=None,
+                    help='JSON {tool value -> payload kind}, e.g. '
+                         '\'{"render_html": "html"}\'')
+    ap.add_argument("--dispatch-tool-json", action="store_true")
+    ap.add_argument("--checkpoint-extraction", action="store_true",
+                    help="run the kernel stage through the wave-committed "
+                         "checkpoint (resumable); see module docstring")
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--salt-block", type=int, default=64)
+    ap.add_argument("--wave-buckets", type=int, default=None)
+    ap.add_argument("--cpus", type=int, default=0,
+                    help="local[N] cores; 0 = use existing/spark-submit session")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName(f"pipeline-{args.run_id}")
+    if args.cpus:
+        builder = (
+            builder.master(f"local[{args.cpus}]")
+            .config("spark.sql.shuffle.partitions",
+                    str(max(args.shards, args.cpus)))
+        )
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ocr_engine_spark.sources.io import read_table
+
+    transcripts = read_table(spark, args.input, flavor=args.input_flavor)
+    summary = run_pipeline(
+        spark, transcripts, args.output, run_id=args.run_id,
+        char_budget=args.char_budget, seq_budget=args.seq_budget,
+        shards=args.shards,
+        tool_kind_map=json.loads(args.tool_kind_map) if args.tool_kind_map
+        else None,
+        dispatch_tool_json=args.dispatch_tool_json,
+        checkpoint_extraction=args.checkpoint_extraction,
+        n_buckets=args.n_buckets, salt_block=args.salt_block,
+        wave_buckets=args.wave_buckets)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from ocr_engine_spark.operators.extract import (
-    DEFAULT_SALT_BLOCK, _extract_batches, EXTRACTED_SCHEMA, passthrough_wrapper,
+    DEFAULT_SALT_BLOCK, _extract_batches, declare_payload_kind,
+    EXTRACTED_SCHEMA, passthrough_wrapper,
 )
 from ocr_engine_spark.sources.io import overwrite_partitions
 
@@ -76,11 +77,20 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                    run_id: str, n_buckets: int = 32,
                    cfg: EngineConfig = DEFAULT_CONFIG,
                    salt_block: int = DEFAULT_SALT_BLOCK,
-                   wave_buckets: int | None = None) -> dict:
+                   wave_buckets: int | None = None,
+                   passthrough: tuple[str, ...] = (),
+                   dispatch_tool_json: bool = False,
+                   tool_kind_map: dict[str, str] | None = None) -> dict:
     """Checkpointed, resumable extraction run.
 
     Layout: {out_dir}/extracted/p=*/   (data, dynamic-overwrite by p)
             {out_dir}/run_metrics/p=*/ (lineage rows, written after data)
+
+    ``passthrough`` columns ride through the kernel into the checkpointed
+    output (e.g. ("role", "tool", "ts") so downstream conversation assembly
+    can consume the committed extraction without re-joining the source);
+    ``dispatch_tool_json`` / ``tool_kind_map`` enable the same S1 declared-kind
+    dispatch as ``extract_transcripts`` (shared ``declare_payload_kind``).
 
     ``wave_buckets``: commit granularity.  Default (None) processes every
     pending bucket in one data write + one metrics write — fastest, but
@@ -103,8 +113,10 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     metrics_path = os.path.join(out_dir, "run_metrics")
 
     done = done_buckets(spark, metrics_path)
-    bucketed = with_bucket(transcripts.select("conv_id", "turn_idx", "text"),
-                           n_buckets, salt_block)
+    pruned = declare_payload_kind(
+        transcripts, ["conv_id", "turn_idx", "text", *passthrough],
+        dispatch_tool_json, tool_kind_map)
+    bucketed = with_bucket(pruned, n_buckets, salt_block)
     pending_ids = [p for p in range(n_buckets) if p not in done]
     if wave_buckets and wave_buckets < len(pending_ids):
         waves = [pending_ids[i:i + wave_buckets]
@@ -116,7 +128,7 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         if len(wave) < n_buckets:
             pending = bucketed.where(F.col("p").isin(wave))
         _run_wave(spark, pending, run_id, len(wave), cfg,
-                  data_path, metrics_path)
+                  data_path, metrics_path, passthrough)
 
     ran = n_buckets - len(done)
     return {
@@ -131,7 +143,8 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
 
 def _run_wave(spark: SparkSession, pending: DataFrame, run_id: str,
               n_partitions: int, cfg: EngineConfig,
-              data_path: str, metrics_path: str) -> None:
+              data_path: str, metrics_path: str,
+              passthrough: tuple[str, ...] = ()) -> None:
     """One durable commit unit: extract `pending`, write its data, then its
     metrics (the done-markers, strictly after the data)."""
     started = time.time()
@@ -140,13 +153,17 @@ def _run_wave(spark: SparkSession, pending: DataFrame, run_id: str,
 
         # fresh StructType: .add() would mutate the shared EXTRACTED_SCHEMA
         out_schema = StructType(
-            list(EXTRACTED_SCHEMA.fields) + [StructField("p", IntegerType())])
+            list(EXTRACTED_SCHEMA.fields)
+            + [pending.schema[c] for c in passthrough]
+            + [StructField("p", IntegerType())])
         from pyspark import StorageLevel
 
         extracted = (
             pending.repartition(n_partitions, "p")
-            .mapInPandas(passthrough_wrapper(_extract_batches(cfg), ["p"]),
-                         schema=out_schema)
+            .mapInPandas(
+                passthrough_wrapper(_extract_batches(cfg),
+                                    [*passthrough, "p"]),
+                schema=out_schema)
         )
         # one pass over the input: the kernel output is persisted, the data write
         # consumes it, and the metrics aggregation reuses the SAME materialization

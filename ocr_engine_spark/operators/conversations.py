@@ -75,6 +75,30 @@ def assemble_conversations(extracted: DataFrame) -> DataFrame:
     )
 
 
+def dedup_conversations(assembled: DataFrame,
+                        text_col: str = "doc_text") -> DataFrame:
+    """Exact conversation-level dedup: keep ONE survivor per distinct document
+    digest (rank-1 by conv_id within each md5 group — deterministic because
+    conv_id is unique).  Input is the ``assemble_conversations`` output; all
+    its columns pass through for the survivors.
+
+    Scale shape: one hash exchange on the digest, window state = one group's
+    rows (the duplicate set), so memory is bounded by the largest duplicate
+    family, never the corpus.  This is the conversation-granularity analogue
+    of ``dedup.q_exact_dedup``'s survivor selection.
+    """
+    from pyspark.sql.window import Window
+
+    return (
+        assembled.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.md5(text_col)).orderBy("conv_id")))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 def truncate_to_budget(extracted: DataFrame, char_budget: int) -> DataFrame:
     """Keep each conversation's PREFIX of turns whose assembled length fits a
     char budget — the context-length cap a pipeline applies before packing.
@@ -146,8 +170,6 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One kernel pass, one assembly exchange, one digest window, one grouped
     packing map — no stage re-executes an upstream subtree."""
-    from pyspark.sql.window import Window
-
     from ocr_engine_spark.operators.documents import tool_transcripts
     from ocr_engine_spark.operators.extract import extract_transcripts
     from ocr_engine_spark.operators.relational import load
@@ -165,13 +187,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         dispatch_tool_json=True,
     )
     asm = assemble_conversations(truncate_to_budget(extracted, 1200))
-    surv = (
-        asm.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy(F.md5("doc_text")).orderBy("conv_id")))
-        .where(F.col("rk") == 1)
-    )
+    surv = dedup_conversations(asm)
     sfx = F.split(F.col("conv_id"), "_").getItem(1).cast("bigint")
     docs = surv.select(
         sfx.alias("doc_id"),

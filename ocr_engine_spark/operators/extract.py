@@ -157,6 +157,38 @@ def probe_layout_skew(df: DataFrame, target_bytes: int | None = None,
     return None
 
 
+def declare_payload_kind(df: DataFrame, cols: list[str],
+                         dispatch_tool_json: bool = False,
+                         tool_kind_map: dict[str, str] | None = None
+                         ) -> DataFrame:
+    """Prune to ``cols``, optionally deriving the declared ``payload_kind``
+    column the kernel's S1 dispatch consumes (shared by the lazy
+    ``extract_transcripts`` and the checkpointed ``run_extraction`` so the two
+    entry points cannot drift on dispatch semantics).
+
+    - ``tool_kind_map``: {tool value -> kind} literal map, JVM-side lookup; a
+      miss yields null -> content sniff (the reference reader's
+      extension->parser table, /root/reference/src/utils.py:179-188).
+    - ``dispatch_tool_json``: any non-null ``tool`` declares tool-JSON.
+    - neither: plain column pruning before the UDF.
+    """
+    if dispatch_tool_json and tool_kind_map:
+        raise ValueError("dispatch_tool_json and tool_kind_map are exclusive")
+    if tool_kind_map:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(tool_kind_map.items()) for x in kv])
+        return df.withColumn(
+            "payload_kind", mapping[F.col("tool")]).select(*cols, "payload_kind")
+    if dispatch_tool_json:
+        # derive the declared kind BEFORE pruning: `tool` need not (and should
+        # not have to) ride in passthrough for dispatch to work
+        return df.withColumn(
+            "payload_kind",
+            F.when(F.col("tool").isNotNull(), F.lit("json"))
+        ).select(*cols, "payload_kind")
+    return df.select(*cols)
+
+
 def plan_num_partitions(df: DataFrame, default_parallelism: int,
                         target_bytes: int = TARGET_PARTITION_BYTES,
                         sample_fraction: float | None = None) -> int:
@@ -232,25 +264,8 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     """
     if num_partitions == AUTO:
         num_partitions = probe_layout_skew(df)
-    if dispatch_tool_json and tool_kind_map:
-        raise ValueError("dispatch_tool_json and tool_kind_map are exclusive")
     cols = ["conv_id", "turn_idx", "text", *passthrough]
-    if tool_kind_map:
-        # literal map lookup stays JVM-side; a miss yields null -> sniff
-        mapping = F.create_map(
-            *[F.lit(x) for kv in sorted(tool_kind_map.items()) for x in kv])
-        pruned = df.withColumn(
-            "payload_kind", mapping[F.col("tool")]
-        ).select(*cols, "payload_kind")
-    elif dispatch_tool_json:
-        # derive the declared kind BEFORE pruning: `tool` need not (and should
-        # not have to) ride in passthrough for dispatch to work
-        pruned = df.withColumn(
-            "payload_kind",
-            F.when(F.col("tool").isNotNull(), F.lit("json"))
-        ).select(*cols, "payload_kind")
-    else:
-        pruned = df.select(*cols)  # column pruning before the UDF
+    pruned = declare_payload_kind(df, cols, dispatch_tool_json, tool_kind_map)
     if num_partitions:
         pruned = pruned.repartition(num_partitions, salted_key(salt_block))
     if not passthrough:

@@ -1,0 +1,100 @@
+"""jobs/pipeline_job.run_pipeline: the production composition end-to-end —
+extraction -> budget truncation -> assembly -> conversation dedup -> packing
+-> partitioned sink, with stage counts, duplicate drops, and resume-through-
+the-extraction-checkpoint behavior."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jobs.pipeline_job import run_pipeline
+from ocr_engine_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Transcripts with PLANTED duplicate conversations: every conv whose
+    numeric hash is even reappears under a 'dup_' id with identical turns."""
+    pdf = generate_transcripts(n_convs=24, seed=77)
+    base = spark.createDataFrame(pdf)
+    dups = (base.where(F.crc32("conv_id") % 2 == 0)
+            .withColumn("conv_id", F.concat(F.lit("dup_"), "conv_id")))
+    return base.unionByName(dups), base.select("conv_id").distinct().count(), \
+        dups.select("conv_id").distinct().count()
+
+
+def test_pipeline_drops_planted_duplicates(spark, corpus, tmp_path):
+    df, n_base, n_dup = corpus
+    s = run_pipeline(spark, df, str(tmp_path / "out"), run_id="t1",
+                     char_budget=100_000, seq_budget=256, shards=4)
+    assert s["conversations"] == n_base + n_dup
+    assert s["survivors"] == n_base
+    assert s["dropped_duplicates"] == n_dup
+    out = spark.read.parquet(s["data_path"])
+    # 'conv_...' < 'dup_...' so every survivor is a base conversation
+    assert out.where(F.col("conv_id").startswith("dup_")).count() == 0
+
+
+def test_packing_respects_budget_and_orders(spark, corpus, tmp_path):
+    df, n_base, _ = corpus
+    s = run_pipeline(spark, df, str(tmp_path / "out"), run_id="t2",
+                     char_budget=100_000, seq_budget=64, shards=4)
+    out = spark.read.parquet(s["data_path"])
+    assert out.count() == n_base
+    # no sequence overfills unless a single doc alone exceeds the budget
+    fills = (out.groupBy("shard", "seq_id")
+             .agg(F.sum("n_tokens").alias("fill"), F.count("*").alias("n"))
+             .where((F.col("fill") > 64) & (F.col("n") > 1)))
+    assert fills.count() == 0
+    assert s["sequences"] == out.select("shard", "seq_id").distinct().count()
+    assert s["tokens"] == out.agg(F.sum("n_tokens")).collect()[0][0]
+
+
+def test_char_budget_truncates(spark, corpus, tmp_path):
+    df, _, _ = corpus
+    big = run_pipeline(spark, df, str(tmp_path / "big"), run_id="t3",
+                       char_budget=100_000, seq_budget=256, shards=2)
+    small = run_pipeline(spark, df, str(tmp_path / "small"), run_id="t4",
+                         char_budget=200, seq_budget=256, shards=2)
+    assert small["tokens"] < big["tokens"]
+    docs = spark.read.parquet(small["data_path"])
+    assert docs.agg(F.max(F.length("doc_text"))).collect()[0][0] <= 200
+
+
+def test_checkpointed_extraction_resumes(spark, corpus, tmp_path):
+    """checkpoint mode: a second invocation finds every bucket committed and
+    re-runs ZERO extraction while producing the identical packed output."""
+    df, n_base, _ = corpus
+    out = str(tmp_path / "ck")
+    s1 = run_pipeline(spark, df, out, run_id="t5", char_budget=100_000,
+                      seq_budget=256, shards=2, checkpoint_extraction=True,
+                      n_buckets=8)
+    assert s1["extraction"]["buckets_run"] == 8
+    s2 = run_pipeline(spark, df, out, run_id="t5", char_budget=100_000,
+                      seq_budget=256, shards=2, checkpoint_extraction=True,
+                      n_buckets=8)
+    assert s2["extraction"]["buckets_done_before"] == 8
+    assert s2["extraction"]["buckets_run"] == 0
+    assert s1["survivors"] == s2["survivors"] == n_base
+    assert s1["tokens"] == s2["tokens"]
+    assert os.path.isdir(os.path.join(out, "extraction", "run_metrics"))
+
+
+def test_checkpoint_passthrough_matches_inline(spark, corpus, tmp_path):
+    """The checkpointed extraction path (passthrough role/tool/ts through the
+    wave commit) must assemble the same documents as the inline lineage."""
+    df, _, _ = corpus
+    a = run_pipeline(spark, df, str(tmp_path / "inl"), run_id="t6",
+                     char_budget=500, seq_budget=128, shards=2)
+    b = run_pipeline(spark, df, str(tmp_path / "ckp"), run_id="t7",
+                     char_budget=500, seq_budget=128, shards=2,
+                     checkpoint_extraction=True, n_buckets=4)
+    pa = (spark.read.parquet(a["data_path"]).orderBy("conv_id")
+          .select("conv_id", "doc_text", "shard", "seq_id", "seq_offset")
+          .toPandas())
+    pb = (spark.read.parquet(b["data_path"]).orderBy("conv_id")
+          .select("conv_id", "doc_text", "shard", "seq_id", "seq_offset")
+          .toPandas())
+    assert pa.equals(pb)
