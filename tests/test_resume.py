@@ -170,3 +170,41 @@ def test_wave_buckets_below_one_raises(spark, transcripts_df, tmp_path):
     with pytest.raises(ValueError, match="wave_buckets"):
         run_extraction(spark, transcripts_df, str(tmp_path / "bad"), "rV",
                        n_buckets=N_BUCKETS, wave_buckets=0)
+
+
+def test_checkpointed_run_with_dispatch_and_passthrough(spark, tmp_path):
+    """run_extraction's declared-kind dispatch must match extract_transcripts'
+    (shared declare_payload_kind), with passthrough columns surviving the
+    wave commit."""
+    from ocr_engine_spark.operators.extract import extract_transcripts
+
+    pdf = generate_transcripts(20, seed=33)
+    df = spark.createDataFrame(pdf).withColumn(
+        "tool",
+        F.when(F.crc32("conv_id") % 3 == 0, F.lit("search")))
+    # declared tool turns wrap in the tool-JSON envelope so the JSON path runs
+    df = df.withColumn(
+        "text",
+        F.when(F.col("tool").isNotNull(),
+               F.concat(F.lit('{"result": "'), F.col("text"), F.lit('"}')))
+        .otherwise(F.col("text")))
+
+    out = str(tmp_path / "ck")
+    run_extraction(spark, df, out, run_id="d1", n_buckets=4,
+                   passthrough=("role", "tool", "ts"), dispatch_tool_json=True)
+    ck = (spark.read.parquet(out + "/extracted")
+          .select("conv_id", "turn_idx", "extracted_text", "fmt", "role",
+                  "tool", "ts")
+          .orderBy("conv_id", "turn_idx").toPandas())
+    inline = (extract_transcripts(df, passthrough=("role", "tool", "ts"),
+                                  dispatch_tool_json=True)
+              .select("conv_id", "turn_idx", "extracted_text", "fmt", "role",
+                      "tool", "ts")
+              .orderBy("conv_id", "turn_idx").toPandas())
+    assert ck.equals(inline)
+    # declared rows take the JSON path; envelopes the corpus text breaks
+    # (embedded quotes/backslashes -> invalid JSON) demote to the S4
+    # permissive plain fallback — exactly the two declared outcomes
+    declared = ck.loc[ck.tool.notna(), "fmt"]
+    assert len(declared) > 0 and set(declared) <= {"json", "plain"}
+    assert (declared == "json").sum() > 0
