@@ -55,24 +55,12 @@ def main() -> None:
                          "/root/reference/src/ocr.py:19-21; here a flag)")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from ocr_engine_spark.operators.checkpoint import run_extraction
-
-    builder = SparkSession.builder.appName(f"extract-{args.run_id}")
-    if args.cpus:
-        builder = (
-            builder.master(f"local[{args.cpus}]")
-            .config("spark.sql.shuffle.partitions", str(max(args.n_buckets, args.cpus)))
-        )
-    spark = (
-        builder.config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
-
+    from ocr_engine_spark.session import build_session
     from ocr_engine_spark.sources.io import read_table
+
+    spark = build_session(f"extract-{args.run_id}", cpus=args.cpus,
+                          shuffle_partitions=max(args.n_buckets, args.cpus))
 
     transcripts = read_table(spark, args.input, flavor=args.input_flavor)
 

@@ -27,10 +27,12 @@ Resume model: the kernel stage dominates cost, so with
 ``--checkpoint-extraction`` it runs through the wave-committed
 ``run_extraction`` checkpoint (role/tool/ts ride through as passthrough
 columns) — a crashed re-run resumes extraction from the last committed wave
-and recomputes only the cheap downstream stages.  Without the flag the whole
-pipeline is one lineage (fastest when restarts are acceptable).  The packed
-output itself is written via dynamic partition overwrite by shard, so
-re-running the job is idempotent per shard.
+and recomputes only the cheap downstream stages (the committed buckets also
+pin the dispatch policy — resuming with different dispatch flags is an error,
+not a silent mixed corpus).  Without the flag the whole pipeline is one
+lineage (fastest when restarts are acceptable).  The packed output is derived
+data and is FULLY replaced on each run (a re-run with a different --shards
+cannot leave stale partitions behind).
 """
 
 from __future__ import annotations
@@ -58,16 +60,19 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
     one over the written packed manifest; the turn-level corpus is scanned
     once (plus once per resumed wave in checkpoint mode).
     """
+    import pandas as pd
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
 
     from ocr_engine_spark.config import DEFAULT_CONFIG
     from ocr_engine_spark.operators.conversations import (
         assemble_conversations, dedup_conversations, truncate_to_budget,
     )
     from ocr_engine_spark.operators.extract import AUTO, extract_transcripts
-    from ocr_engine_spark.operators.text_analysis import pack_sequences
-    from ocr_engine_spark.sources.io import overwrite_partitions
+    from ocr_engine_spark.operators.text_analysis import greedy_pack_assignment
 
     cfg = cfg or DEFAULT_CONFIG
     passthrough = ("role", "tool", "ts")
@@ -95,38 +100,58 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
     try:
         n_convs = asm.count()
         surv = dedup_conversations(asm)
-        # pack_sequences orders docs by a numeric doc_id; xxhash64(conv_id) is
-        # a deterministic total order for any conv_id alphabet (collisions at
-        # 2^-64 would only merge two manifest identities, not lose text)
+        # packing carries conv_id + doc_text THROUGH the grouped map (no
+        # numeric surrogate key, no join-back): conv_id is unique, so the
+        # per-shard sort is a total order and the output is deterministic
+        # under any partitioning — and a hash collision cannot fan out rows
         docs = surv.select(
-            F.xxhash64("conv_id").alias("doc_id"),
+            "conv_id",
             F.concat(F.lit("shard_"),
                      F.pmod(F.xxhash64("conv_id"), F.lit(shards))
-                     .cast("string")).alias("source"),
-            F.col("conv_id"), F.col("doc_text").alias("text"))
-        packed = pack_sequences(docs, budget=seq_budget)
-        out = (
-            packed.join(docs.select("doc_id", "conv_id", "text"), "doc_id")
-            .select("conv_id", F.col("text").alias("doc_text"), "n_tokens",
-                    F.col("source").alias("shard"), "seq_id", "seq_offset")
-        )
-        data_path = os.path.join(out_dir, "packed")
-        overwrite_partitions(out, data_path, "shard")
+                     .cast("string")).alias("shard"),
+            "doc_text",
+            F.size(F.split(F.trim("doc_text"), " +")).cast("bigint")
+            .alias("n_tokens"))
+        pack_schema = StructType([
+            StructField("conv_id", StringType()),
+            StructField("shard", StringType()),
+            StructField("doc_text", StringType()),
+            StructField("n_tokens", LongType()),
+            StructField("seq_id", IntegerType()),
+            StructField("seq_offset", LongType()),
+        ])
 
-        written = spark.read.parquet(data_path)
-        stats = written.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("shard", "seq_id").alias("n_sequences"),
-            F.sum("n_tokens").alias("n_tokens")).collect()[0]
-        summary = {
-            "run_id": run_id, "extraction": ext_summary,
-            "conversations": n_convs,
-            "survivors": stats["n_docs"],
-            "dropped_duplicates": n_convs - stats["n_docs"],
-            "sequences": stats["n_sequences"],
-            "tokens": int(stats["n_tokens"] or 0),
-            "data_path": data_path,
-        }
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("conv_id").reset_index(drop=True)
+            seqs, offs = greedy_pack_assignment(pdf["n_tokens"], seq_budget)
+            pdf["seq_id"] = pd.Series(seqs, dtype="int32")
+            pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+            return pdf
+
+        out = docs.groupBy("shard").applyInPandas(pack, schema=pack_schema)
+        out.persist(StorageLevel.DISK_ONLY)
+        try:
+            data_path = os.path.join(out_dir, "packed")
+            # FULL overwrite, not dynamic-by-shard: the job always computes
+            # every shard, and a re-run with a different --shards must not
+            # leave stale partitions behind (packed output is derived data —
+            # the resumable stage is the extraction checkpoint upstream)
+            out.write.mode("overwrite").partitionBy("shard").parquet(data_path)
+            stats = out.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("shard", "seq_id").alias("n_sequences"),
+                F.sum("n_tokens").alias("n_tokens")).collect()[0]
+            summary = {
+                "run_id": run_id, "extraction": ext_summary,
+                "conversations": n_convs,
+                "survivors": stats["n_docs"],
+                "dropped_duplicates": n_convs - stats["n_docs"],
+                "sequences": stats["n_sequences"],
+                "tokens": int(stats["n_tokens"] or 0),
+                "data_path": data_path,
+            }
+        finally:
+            out.unpersist()
     finally:
         asm.unpersist()
     return summary
@@ -156,23 +181,11 @@ def main() -> None:
                     help="local[N] cores; 0 = use existing/spark-submit session")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
-    builder = SparkSession.builder.appName(f"pipeline-{args.run_id}")
-    if args.cpus:
-        builder = (
-            builder.master(f"local[{args.cpus}]")
-            .config("spark.sql.shuffle.partitions",
-                    str(max(args.shards, args.cpus)))
-        )
-    spark = (
-        builder.config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
-
+    from ocr_engine_spark.session import build_session
     from ocr_engine_spark.sources.io import read_table
+
+    spark = build_session(f"pipeline-{args.run_id}", cpus=args.cpus,
+                          shuffle_partitions=max(args.shards, args.cpus))
 
     transcripts = read_table(spark, args.input, flavor=args.input_flavor)
     summary = run_pipeline(

@@ -103,18 +103,9 @@ def main() -> None:
                     help="stop the query after N seconds (0 = run forever)")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from ocr_engine_spark.session import build_session
 
-    builder = SparkSession.builder.appName("extract-stream")
-    if args.cpus:
-        builder = (builder.master(f"local[{args.cpus}]")
-                   .config("spark.sql.shuffle.partitions", str(args.cpus)))
-    spark = (
-        builder.config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
+    spark = build_session("extract-stream", cpus=args.cpus)
 
     q = run_stream(spark, args.input, args.output, checkpoint=args.checkpoint,
                    max_files_per_trigger=args.max_files_per_trigger,

@@ -73,6 +73,38 @@ def done_buckets(spark: SparkSession, metrics_path: str) -> set[int]:
     return {r["p"] for r in rows}
 
 
+def _dispatch_desc(dispatch_tool_json: bool,
+                   tool_kind_map: dict[str, str] | None) -> str:
+    import json
+
+    return json.dumps(
+        {"dispatch_tool_json": dispatch_tool_json,
+         "tool_kind_map": tool_kind_map},
+        sort_keys=True)
+
+
+def _validate_resume_dispatch(spark: SparkSession, metrics_path: str,
+                              dispatch_desc: str) -> None:
+    """A resumed run MUST extract under the dispatch policy the committed
+    buckets used — otherwise the final table silently mixes content-sniffed
+    and declared-kind buckets.  Metrics rows record the policy; a mismatch is
+    an error, not a warning (the fix is a fresh out_dir or the original
+    flags).  Pre-dispatch metrics layouts (no ``dispatch`` column) skip the
+    check rather than guess."""
+    if not os.path.exists(metrics_path):
+        return
+    m = spark.read.parquet(metrics_path).where(F.col("status") == "done")
+    if "dispatch" not in m.columns:
+        return
+    stored = [r["dispatch"] for r in m.select("dispatch").distinct().collect()]
+    bad = [s for s in stored if s != dispatch_desc]
+    if bad:
+        raise ValueError(
+            "resume dispatch mismatch: committed buckets were extracted with "
+            f"{bad[0]} but this run requests {dispatch_desc}; use a fresh "
+            "out_dir or rerun with the original dispatch flags")
+
+
 def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                    run_id: str, n_buckets: int = 32,
                    cfg: EngineConfig = DEFAULT_CONFIG,
@@ -112,6 +144,8 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     data_path = os.path.join(out_dir, "extracted")
     metrics_path = os.path.join(out_dir, "run_metrics")
 
+    dispatch_desc = _dispatch_desc(dispatch_tool_json, tool_kind_map)
+    _validate_resume_dispatch(spark, metrics_path, dispatch_desc)
     done = done_buckets(spark, metrics_path)
     pruned = declare_payload_kind(
         transcripts, ["conv_id", "turn_idx", "text", *passthrough],
@@ -128,7 +162,7 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         if len(wave) < n_buckets:
             pending = bucketed.where(F.col("p").isin(wave))
         _run_wave(spark, pending, run_id, len(wave), cfg,
-                  data_path, metrics_path, passthrough)
+                  data_path, metrics_path, passthrough, dispatch_desc)
 
     ran = n_buckets - len(done)
     return {
@@ -144,7 +178,8 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
 def _run_wave(spark: SparkSession, pending: DataFrame, run_id: str,
               n_partitions: int, cfg: EngineConfig,
               data_path: str, metrics_path: str,
-              passthrough: tuple[str, ...] = ()) -> None:
+              passthrough: tuple[str, ...] = (),
+              dispatch_desc: str = _dispatch_desc(False, None)) -> None:
     """One durable commit unit: extract `pending`, write its data, then its
     metrics (the done-markers, strictly after the data)."""
     started = time.time()
@@ -193,11 +228,12 @@ def _run_wave(spark: SparkSession, pending: DataFrame, run_id: str,
                 .withColumn("started", F.lit(started).cast("timestamp"))
                 .withColumn("finished", F.lit(finished).cast("timestamp"))
                 .withColumn("status", F.lit("done"))
+                .withColumn("dispatch", F.lit(dispatch_desc))
             )
             overwrite_partitions(
                 metrics.select(
                     "run_id", "conv_ids", "turns", "spans", "strip_ratio",
-                    "started", "finished", "status", "p",
+                    "started", "finished", "status", "dispatch", "p",
                 ), metrics_path, "p")
         finally:
             extracted.unpersist()

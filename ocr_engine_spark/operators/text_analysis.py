@@ -396,6 +396,24 @@ PACK_SCHEMA = ("doc_id long, source string, n_tokens bigint, "
                "seq_id int, seq_offset bigint")
 
 
+def greedy_pack_assignment(n_tokens, budget: int):
+    """The greedy fill itself, factored so every packing surface (the
+    contract operator below, jobs/pipeline_job's text-carrying variant) runs
+    the IDENTICAL loop: documents in the caller's order fill a sequence until
+    the next would overflow ``budget``; oversized documents sit alone.
+    Returns parallel (seq_ids, offsets) lists."""
+    seqs, offs = [], []
+    seq = fill = 0
+    for n in n_tokens:
+        if fill > 0 and fill + n > budget:
+            seq += 1
+            fill = 0
+        offs.append(fill)
+        seqs.append(seq)
+        fill += n
+    return seqs, offs
+
+
 def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
     """Greedy contiguous sequence packing per source (the training-sequence
     assembly step): documents in doc_id order fill a sequence until the next
@@ -413,15 +431,7 @@ def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seqs, offs = [], []
-        seq = fill = 0
-        for n in pdf["n_tokens"]:
-            if fill > 0 and fill + n > budget:
-                seq += 1
-                fill = 0
-            offs.append(fill)
-            seqs.append(seq)
-            fill += n
+        seqs, offs = greedy_pack_assignment(pdf["n_tokens"], budget)
         pdf["seq_id"] = pd.Series(seqs, dtype="int32")
         pdf["seq_offset"] = pd.Series(offs, dtype="int64")
         return pdf

@@ -98,3 +98,44 @@ def test_checkpoint_passthrough_matches_inline(spark, corpus, tmp_path):
           .select("conv_id", "doc_text", "shard", "seq_id", "seq_offset")
           .toPandas())
     assert pa.equals(pb)
+
+
+def test_empty_output_returns_zero_summary(spark, corpus, tmp_path):
+    """A char budget below every first turn line empties the pipeline; the
+    job must return a zero-count summary, not crash reading back an empty
+    directory (UNABLE_TO_INFER_SCHEMA regression)."""
+    df, _, _ = corpus
+    s = run_pipeline(spark, df, str(tmp_path / "empty"), run_id="t8",
+                     char_budget=1, seq_budget=64, shards=2)
+    assert s["survivors"] == 0 and s["sequences"] == 0 and s["tokens"] == 0
+    assert s["conversations"] == 0 and s["dropped_duplicates"] == 0
+
+
+def test_rerun_with_fewer_shards_leaves_no_stale_partitions(spark, corpus,
+                                                            tmp_path):
+    """The packed output is fully replaced per run: re-sharding must not keep
+    old shard directories (the dynamic-overwrite stale-partition trap)."""
+    df, n_base, _ = corpus
+    out = str(tmp_path / "reshard")
+    run_pipeline(spark, df, out, run_id="t9", char_budget=100_000,
+                 seq_budget=256, shards=8)
+    s2 = run_pipeline(spark, df, out, run_id="t10", char_budget=100_000,
+                      seq_budget=256, shards=2)
+    written = spark.read.parquet(s2["data_path"])
+    assert written.select("shard").distinct().count() <= 2
+    assert written.count() == n_base == s2["survivors"]
+
+
+def test_resume_with_changed_dispatch_raises(spark, corpus, tmp_path):
+    """Committed buckets pin the dispatch policy: resuming the extraction
+    checkpoint with different dispatch flags must fail loudly instead of
+    mixing sniffed and declared buckets in one corpus."""
+    df, _, _ = corpus
+    out = str(tmp_path / "disp")
+    run_pipeline(spark, df, out, run_id="t11", char_budget=100_000,
+                 seq_budget=256, shards=2, checkpoint_extraction=True,
+                 n_buckets=4)
+    with pytest.raises(ValueError, match="dispatch mismatch"):
+        run_pipeline(spark, df, out, run_id="t11", char_budget=100_000,
+                     seq_budget=256, shards=2, checkpoint_extraction=True,
+                     n_buckets=4, dispatch_tool_json=True)
