@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # — new / changed in r05 —
+        "conv_neardup": conversations.q_conv_neardup,
         "kind_dispatch_extract": documents.q_kind_dispatch_extract,
         "pipeline_e2e": conversations.q_pipeline_e2e,
         # — never driver-checked before r04 / changed in r04 —
@@ -58,7 +59,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": text_analysis.q_source_mix,
         "conv_assemble_capped": conversations.q_conv_assemble_capped,
         "span_svg": visualize.q_span_svg,
-        "media_decode": multimodal.q_media_decode,
         "embedding_neardup": similarity.q_embedding_neardup,
         "embedding_neardup_ivf": similarity.q_embedding_neardup_ivf,
         "binary_features": multimodal.q_binary_features,
@@ -110,10 +110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tests/test_contract_tail.py) fails if any query whose
         #   implementing module (transitively) or oracle text changed since
         #   the last round boundary parks past position 50.  This round the
-        #   kernel/dispatch change dirtied 48 of 64 queries, so the tail is
-        #   the 13 relational rows (driver-green r02+r03+r04 unchanged) plus
-        #   media_frames (r04-green; multimodal.py untouched this round) —
+        #   kernel/dispatch change dirtied most of the 65 queries, so the tail
+        #   is the 13 relational rows (driver-green r02+r03+r04 unchanged)
+        #   plus media_frames and media_decode (r04-green; multimodal.py
+        #   untouched this round) —
         "media_frames": multimodal.q_media_frames,
+        "media_decode": multimodal.q_media_decode,
         "customers_without_orders": relational.q_customers_without_orders,
         "event_sessions": relational.q_event_sessions,
         "event_rolling": relational.q_event_rolling,
@@ -190,8 +192,9 @@ _SIMHASH_CTES = """h AS (
 
 # The full MinHash-LSH pair pipeline as a CTE chain ending in ``mh_pairs``
 # (md5-affine hash family; mirrors operators/dedup.minhash_lsh_pairs with
-# num_hashes=16, bands=8, k=3, threshold 0.5).  Shared by the pairs query and
-# the connected-components clustering oracle.
+# num_hashes=16, bands=8, k=3, threshold 0.5).  Shared by the pairs query,
+# the connected-components clustering oracle, and (parametrized over its
+# source relation via _minhash_ctes) the conversation-level near-dup oracle.
 _MINHASH_CTES = """sh AS (
               SELECT doc_id,
                      [concat_ws(' ', tk[CAST(i AS INTEGER)], tk[CAST(i+1 AS INTEGER)],
@@ -234,6 +237,13 @@ _MINHASH_CTES = """sh AS (
                 FROM cand JOIN sset sa ON sa.doc_id = doc_id_a
                           JOIN sset sb ON sb.doc_id = doc_id_b)
               WHERE jaccard >= 0.5)"""
+
+
+def _minhash_ctes(src: str = "documents") -> str:
+    """The mh_pairs CTE chain over an arbitrary (doc_id, text) relation —
+    the template's single scan swaps from the documents table to e.g. the
+    assembled-conversations CTE of the conv_neardup oracle."""
+    return _MINHASH_CTES.replace("FROM documents", f"FROM {src}")
 
 
 # Seeded deterministic Lloyd's rounds (operators/similarity.train_centroids)
@@ -402,6 +412,45 @@ def oracle_sql() -> dict[str, str]:
               FROM all_docs)
             SELECT conv_id, doc_md5, n_copies, dup_rank
             FROM g WHERE n_copies > 1
+        """,
+        # conversation-granularity NEAR-dup (fuzzy twin of conv_dedup):
+        # transcript-level plants drop each marked conversation's LAST turn
+        # (a truncated re-run) under 'ndup_<N>'; assembly then the md5-family
+        # MinHash-LSH chain replays end-to-end, pairing each plant with its
+        # base at the true shared-shingle Jaccard.
+        "conv_neardup": f"""
+            WITH t AS (
+              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                     text AS extracted_text
+              FROM documents),
+            tn AS (
+              SELECT 'ndup_' || string_split(conv_id, '_')[2] AS conv_id,
+                     turn_idx, role, extracted_text
+              FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+                    FROM t
+                    WHERE CAST(string_split(conv_id, '_')[2] AS INTEGER)
+                          % {conversations.CONV_NEAR_MOD}
+                          = {conversations.CONV_NEAR_RESIDUE})
+              WHERE turn_idx < mx),
+            asmn AS (
+              SELECT conv_id,
+                     string_agg(role || ': ' || extracted_text,
+                          chr(10) ORDER BY turn_idx) AS doc_text
+              FROM (SELECT * FROM t UNION ALL SELECT * FROM tn)
+              GROUP BY conv_id),
+            convdocs AS (
+              SELECT CASE WHEN conv_id LIKE 'ndup_%'
+                          THEN CAST(string_split(conv_id, '_')[2] AS BIGINT)
+                               + {conversations.CONV_NEAR_OFFSET}
+                          ELSE CAST(string_split(conv_id, '_')[2] AS BIGINT)
+                     END AS doc_id,
+                     doc_text AS text
+              FROM asmn),
+            {_minhash_ctes("convdocs")}
+            SELECT doc_id_a, doc_id_b, jaccard FROM mh_pairs
         """,
         # end-to-end composition: dispatch extraction -> 1200-char budget
         # truncation -> assembly -> conversation dedup (rank-1 survivor per

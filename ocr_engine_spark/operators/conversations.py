@@ -38,6 +38,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 CONV_DUP_MOD = 5
 CONV_DUP_RESIDUE = 2
 
+# planted NEAR-duplicate conversations (q_conv_neardup): every conversation
+# whose numeric suffix N has N % CONV_NEAR_MOD == CONV_NEAR_RESIDUE reappears
+# under 'ndup_<N>' with its LAST turn dropped — the truncated re-run of an
+# agent session, the fuzzy twin exact dedup cannot catch.  Near-dup doc ids
+# map to suffix + CONV_NEAR_OFFSET for the numeric pair output.
+CONV_NEAR_MOD = 5
+CONV_NEAR_RESIDUE = 1
+CONV_NEAR_OFFSET = 1_000_000
+
 
 def assemble_conversations(extracted: DataFrame) -> DataFrame:
     """Extraction output (+ role/tool/ts passthrough) -> one row per conversation.
@@ -195,6 +204,57 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_text").alias("text"))
     return pack_sequences(docs, budget=512).withColumn(
         "conv_id", F.concat(F.lit("conv_"), F.col("doc_id").cast("string")))
+
+
+def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup at CONVERSATION granularity: MinHash-LSH near-dup pairs
+    over assembled training documents — the twin exact dedup cannot catch
+    (near-identical re-runs of the same agent session).
+
+    The corpus has no organic near-duplicate conversations, so (the
+    q_conv_dedup plant pattern, at the transcript level) every conversation
+    with suffix N % CONV_NEAR_MOD == CONV_NEAR_RESIDUE reappears under
+    'ndup_<N>' with its LAST turn dropped — a truncated re-run.  Plants ride
+    ONE kernel pass and ONE assembly exchange with the base corpus; the
+    assembled docs then run the md5-family banded LSH (same parameters as
+    q_minhash_lsh_pairs so the DuckDB oracle replays every stage), yielding
+    one (N, N + CONV_NEAR_OFFSET) pair per plant with the true Jaccard of the
+    shared shingles.  Composition stake: assembly (A1) -> LSH (the dedup
+    suite) chained across granularities, value-checked end-to-end.
+
+    Scale shape: same as the document-level pipeline — banded bucket join,
+    never all-pairs; one extra exchange for the assembly upstream.
+    """
+    from pyspark.sql.window import Window
+
+    from ocr_engine_spark.operators.dedup import minhash_lsh_pairs
+    from ocr_engine_spark.operators.documents import tool_transcripts
+    from ocr_engine_spark.operators.extract import extract_transcripts
+    from ocr_engine_spark.operators.relational import load
+
+    transcripts = tool_transcripts(load(spark, sf_dir, "documents"))
+    suffix = F.split(F.col("conv_id"), "_").getItem(1).cast("int")
+    near = (
+        transcripts.where(suffix % CONV_NEAR_MOD == CONV_NEAR_RESIDUE)
+        .withColumn("mx", F.max("turn_idx").over(Window.partitionBy("conv_id")))
+        .where(F.col("turn_idx") < F.col("mx"))
+        .drop("mx")
+        .withColumn("conv_id", F.concat(F.lit("ndup_"), suffix.cast("string")))
+    )
+    extracted = extract_transcripts(
+        transcripts.unionByName(near),
+        num_partitions=spark.sparkContext.defaultParallelism * 2,
+        passthrough=("role", "tool", "ts"),
+        dispatch_tool_json=True,
+    )
+    asm = assemble_conversations(extracted)
+    sfx = F.split(F.col("conv_id"), "_").getItem(1).cast("bigint")
+    docs = asm.select(
+        F.when(F.col("conv_id").startswith("ndup_"),
+               sfx + CONV_NEAR_OFFSET).otherwise(sfx).alias("doc_id"),
+        F.col("doc_text").alias("text"))
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=8, k=3,
+                             jaccard_threshold=0.5, family="md5")
 
 
 def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
