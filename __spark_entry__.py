@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # — new / changed in r05 —
+        "paragraph_dedup": dedup.q_paragraph_dedup,
+        "boilerplate_strip": dedup.q_boilerplate_strip,
         "conv_neardup": conversations.q_conv_neardup,
         "kind_dispatch_extract": documents.q_kind_dispatch_extract,
         "pipeline_e2e": conversations.q_pipeline_e2e,
@@ -61,7 +63,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_svg": visualize.q_span_svg,
         "embedding_neardup": similarity.q_embedding_neardup,
         "embedding_neardup_ivf": similarity.q_embedding_neardup_ivf,
-        "binary_features": multimodal.q_binary_features,
         "tool_dispatch_extract": documents.q_tool_dispatch_extract,
         "stream_dedup_parity": streaming_mod.q_stream_dedup_parity,
         "exact_dedup": dedup.q_exact_dedup,
@@ -103,17 +104,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": similarity.q_ivf_assign,
         "ivf_topk": similarity.q_ivf_topk,
         "ivf_topk_multiprobe": similarity.q_ivf_topk_multiprobe,
-        "embedding_topk": similarity.q_embedding_topk,
         "multi_source_union": documents.q_multi_source_union,
         # — tail: long-stable rows past the driver's 50-query window.
         #   Membership is MECHANICAL now: tools/check_window.py (run by
         #   tests/test_contract_tail.py) fails if any query whose
         #   implementing module (transitively) or oracle text changed since
         #   the last round boundary parks past position 50.  This round the
-        #   kernel/dispatch change dirtied most of the 65 queries, so the tail
-        #   is the 13 relational rows (driver-green r02+r03+r04 unchanged)
-        #   plus media_frames and media_decode (r04-green; multimodal.py
-        #   untouched this round) —
+        #   kernel/dispatch/spread changes dirtied 51 of the 67 queries — one
+        #   more than the window holds — so the tail is the 14 clean rows
+        #   (13 relational + multimodal, all driver-green r02-r04 unchanged)
+        #   plus embedding_topk, the single tier-2 overflow the saturated
+        #   window permits (ripple-dirty via spread(); own source unchanged;
+        #   oracle-checked per pytest run by this very suite) —
+        "embedding_topk": similarity.q_embedding_topk,
+        "binary_features": multimodal.q_binary_features,
         "media_frames": multimodal.q_media_frames,
         "media_decode": multimodal.q_media_decode,
         "customers_without_orders": relational.q_customers_without_orders,
@@ -189,6 +193,21 @@ _SIMHASH_CTES = """h AS (
                           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
                           ELSE 0 END) AS BIGINT) AS simhash
               FROM votes GROUP BY doc_id)"""
+
+# Sub-document chunking shared by the paragraph_dedup / boilerplate_strip
+# oracles (mirrors operators/dedup.chunk_documents with width=8): documents
+# tokenized and re-chunked into non-overlapping 8-word windows, trailing
+# partial chunk kept, empty chunks dropped; ends in ``nchunks``.
+_CHUNK_CTES = """tok AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, g.i AS cidx,
+                     array_to_string(tk[(g.i*8+1):(g.i*8+8)], ' ') AS chunk
+              FROM tok, LATERAL unnest(
+                generate_series(0, CAST(floor((len(tk)-1)/8) AS BIGINT))) AS g(i)),
+            nchunks AS (
+              SELECT doc_id, cidx, chunk FROM chunks WHERE length(chunk) > 0)"""
 
 # The full MinHash-LSH pair pipeline as a CTE chain ending in ``mh_pairs``
 # (md5-affine hash family; mirrors operators/dedup.minhash_lsh_pairs with
@@ -911,6 +930,46 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS INTEGER) AS dup_rank
                   FROM h)
             SELECT doc_id, text_md5, n_copies, dup_rank FROM g WHERE n_copies > 1
+        """,
+        # sub-document granularity: documents re-chunked into non-overlapping
+        # 8-word windows (the corpus is single-line, so the chunk plays the
+        # paragraph/line role of a C4/RefinedWeb cleaning pass); keep-first
+        # corpus-wide (paragraph_dedup) vs remove-everywhere when a chunk
+        # appears in >= 2 distinct docs (boilerplate_strip).  ~5% of chunks are
+        # organic duplicates at every SF, so both rows are non-vacuous unplanted.
+        "paragraph_dedup": f"""
+            WITH {_CHUNK_CTES},
+            kept AS (
+              SELECT doc_id, cidx, chunk FROM (
+                SELECT doc_id, cidx, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, cidx) AS rn
+                FROM nchunks) WHERE rn = 1),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                           string_agg(chunk, ' ' ORDER BY cidx) AS dedup_text
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+                    FROM nchunks GROUP BY doc_id)
+            SELECT t.doc_id, t.n_chunks,
+                   COALESCE(a.n_kept, 0)::BIGINT AS n_kept,
+                   COALESCE(a.dedup_text, '') AS dedup_text
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "boilerplate_strip": f"""
+            WITH {_CHUNK_CTES},
+            freq AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+                     FROM nchunks GROUP BY chunk),
+            kept AS (SELECT c.doc_id, c.cidx, c.chunk
+                     FROM nchunks c JOIN freq f USING (chunk) WHERE f.nd < 2),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                           string_agg(chunk, ' ' ORDER BY cidx) AS clean_text
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+                    FROM nchunks GROUP BY doc_id)
+            SELECT t.doc_id, t.n_chunks,
+                   (t.n_chunks - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
+                   COALESCE(a.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
         "ngram_jaccard_pairs": """
             WITH d AS (SELECT doc_id, source,

@@ -725,3 +725,145 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(drop, "doc_id", "left_anti")
         .select("doc_id", F.md5("text").alias("text_md5"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document granularity: chunk-level (paragraph-analog) dedup.
+#
+# The corpus documents are single-line word streams, so the "paragraph" unit is
+# a deterministic non-overlapping CHUNK_WORDS-word window — the same role
+# newline-delimited paragraphs/lines play in a C4/RefinedWeb-style cleaning
+# pass.  Two classic sub-document operators build on it:
+#   * paragraph_dedup     — keep the FIRST occurrence of every chunk corpus-wide
+#                           (global keep-first line dedup);
+#   * boilerplate_strip   — remove chunks appearing in >= min_docs DISTINCT
+#                           documents from EVERYWHERE (frequency boilerplate).
+# Reference stake: this is the crop -> filter -> regroup shape of the span
+# pipeline (/root/reference/src/ocr.py:131-152 crop+validity filtering,
+# src/word_formation.py regroup) applied one level below the document.
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 8
+
+
+def chunk_documents(docs: DataFrame, width: int = CHUNK_WORDS) -> DataFrame:
+    """Explode documents into (doc_id, cidx, chunk) non-overlapping word chunks.
+
+    Tokenization and chunk assembly are single-pass array expressions (split ->
+    transform(sequence) -> posexplode): per-row JVM work, no shuffle, no Python.
+    The trailing partial chunk (< width words) is kept; empty chunks (blank
+    documents) are dropped — the F7 blank-text filter at chunk granularity.
+    """
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), " +").alias("tk"))
+    chunk_expr = (
+        f"transform(sequence(0, cast(floor((size(tk)-1)/{width}) as int)),"
+        f" i -> array_join(slice(tk, i*{width}+1, {width}), ' '))"
+    )
+    return (
+        toks.select("doc_id", F.posexplode(F.expr(chunk_expr)).alias("cidx", "chunk"))
+        .where(F.length("chunk") > 0)
+    )
+
+
+def paragraph_dedup(docs: DataFrame, width: int = CHUNK_WORDS) -> DataFrame:
+    """Global keep-first chunk dedup; returns (doc_id, n_chunks, n_kept, dedup_text).
+
+    100 TB shape — two shuffles, both skew-free, no per-key sort:
+      1. groupBy(md5(chunk)) with min(struct(doc_id, cidx, chunk)): the map-side
+         combiner collapses duplicate chunks BEFORE the exchange, so a chunk
+         occurring a billion times ships one row per map task, and the winning
+         occurrence (corpus-order minimum) rides out of the aggregate with its
+         text — no join back to the chunk set (the window/row_number spelling
+         would sort every occurrence of a hot chunk in one task; min is
+         algebraic, so it never does).
+      2. regroup the surviving occurrences by doc_id to reassemble the cleaned
+         text in cidx order (array_sort over struct with unique first key —
+         total order, partition-independent).
+    Documents whose every chunk lost to an earlier document survive with
+    n_kept = 0 and empty text (left join from per-doc totals).
+    """
+    ch = chunk_documents(docs, width)
+    totals = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
+    winners = (
+        ch.groupBy(F.md5("chunk").alias("digest"))
+        .agg(F.min(F.struct("doc_id", "cidx", "chunk")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.cidx").alias("cidx"),
+                F.col("w.chunk").alias("chunk"))
+    )
+    kept = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(cidx, chunk))),"
+                   " s -> s.chunk)"),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+def boilerplate_strip(docs: DataFrame, width: int = CHUNK_WORDS,
+                      min_docs: int = 2) -> DataFrame:
+    """Remove chunks appearing in >= min_docs DISTINCT documents from every
+    document; returns (doc_id, n_chunks, n_removed, clean_text).
+
+    100 TB shape: the boilerplate set (chunks crossing the document-frequency
+    threshold) is orders of magnitude smaller than the chunk set, so the strip
+    is a broadcast LEFT ANTI join against it — zero shuffle of the corpus-side
+    chunks beyond the frequency aggregate (itself map-side combinable on the
+    digest).  When the boilerplate set outgrows the broadcast threshold Spark's
+    planner falls back to a shuffled anti join on the same plan; AQE picks per
+    its runtime size estimate (the hint is advisory, not forced).
+    """
+    ch = chunk_documents(docs, width)
+    boiler = (
+        ch.groupBy(F.md5("chunk").alias("digest"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("digest")
+    )
+    kept = ch.withColumn("digest", F.md5("chunk")).join(
+        F.broadcast(boiler), "digest", "left_anti")
+    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(cidx, chunk))),"
+                   " s -> s.chunk)"),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract row: corpus-wide keep-first chunk dedup over documents.
+
+    The corpus has ~5% organically duplicated 8-word chunks at every test SF
+    (Zipfian small-vocabulary text), so no plants are needed — the oracle row
+    is non-vacuous on the raw table."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return paragraph_dedup(docs)
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract row: frequency-threshold boilerplate removal over documents."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return boilerplate_strip(docs, min_docs=2)

@@ -7,15 +7,30 @@ policy can slip silently; this tool makes it mechanical:
 
 - base = the most recent driver round-boundary commit (``round N: ...``);
 - a query is DIRTY if, relative to that base (committed or not),
-  (a) any module its implementing module can REACH through
-      ``ocr_engine_spark.*`` references changed (the reference scan is a
-      plain regex over file text, so lazy executor-side imports count, and
-      reachability is the transitive closure — a kernel edit dirties every
-      query whose operator rides the kernel), or
+  (a) any top-level definition (function/class/assignment UNIT) reachable from
+      its implementing function through name references — within a module and
+      across ``ocr_engine_spark`` import bindings — changed, was added, or was
+      removed, or
   (b) its oracle_sql() entry text changed / is new in ``__spark_entry__.py``
       (regex-extracted; constants interpolated through f-strings are outside
       the diff, a documented limitation);
 - every dirty query must sit in positions 1..WINDOW of ``queries()``.
+
+Dirtiness is UNIT-level, not module-level (the r05 upgrade): appending new
+operators to a shared module no longer dirties every query that imports the
+module — only queries whose call closure actually reaches a changed
+definition.  Precision never costs soundness; everything unresolvable falls
+back to conservative whole-module dirtiness:
+
+- module file unparseable at base, newly added, or deleted -> all units dirty;
+- module-level statements OUTSIDE def/class/assignment changed (loose calls,
+  try blocks, conditional imports) -> all units of that module dirty;
+- ``from M import *``, a dotted ``ocr_engine_spark.x`` mention outside an AST
+  import (lazy importlib, docstring reference), or an attribute/import name
+  that does not resolve to a unit of the target module -> depends on ALL of
+  that module's units;
+- an import binding whose target moved between base and HEAD dirties every
+  unit referencing that name.
 
 Run directly (``python tools/check_window.py``) or via the pytest wrapper in
 ``tests/test_contract_tail.py``; exit code 1 on violation.
@@ -23,6 +38,7 @@ Run directly (``python tools/check_window.py``) or via the pytest wrapper in
 
 from __future__ import annotations
 
+import ast
 import pathlib
 import re
 import subprocess
@@ -32,8 +48,14 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 WINDOW = 50
-_REF = re.compile(r"ocr_engine_spark(?:\.\w+)+")
+PKG = "ocr_engine_spark"
+_REF = re.compile(rf"{PKG}(?:\.\w+)+")
 _ORACLE = re.compile(r'"(\w+)":\s*f?"""(.*?)"""', re.DOTALL)
+
+# sentinel unit name meaning "all units of the module"
+ALL = "*"
+# sentinel unit for top-level statements that are not def/class/assignment
+TOPLEVEL = "<module-toplevel>"
 
 
 def _git(*args: str) -> str:
@@ -61,71 +83,275 @@ def _module_name(path: pathlib.Path) -> str:
     return ".".join(parts)
 
 
-def _import_refs(path: pathlib.Path, text: str) -> set[str]:
-    """All ocr_engine_spark modules ``path`` imports, resolved via the AST.
+def _resolve_from(module: str | None, level: int, pkg_parts: list[str]) -> str:
+    """Resolve an ImportFrom's source module against the importing package."""
+    if level:
+        base_parts = pkg_parts[:len(pkg_parts) - (level - 1)]
+        return ".".join(base_parts + ([module] if module else []))
+    return module or ""
 
-    Catches the spellings the dotted-text regex cannot: ``from
-    ocr_engine_spark import x``, ``import ocr_engine_spark.x as y``, and
-    relative imports (``from . import x``, ``from ..kernel import z``) —
-    resolved against the file's own package — so the gate's soundness does
-    not rest on an import-style convention.  Lazy in-function imports are
-    AST nodes too, so they count.
+
+class ModuleInfo:
+    """Unit decomposition of one module version.
+
+    units: unit name -> structural hash (ast.dump) of its definition(s).
+    refs: unit name -> local names it references (Load-context Names plus the
+      roots of Attribute chains).
+    attr_refs: unit name -> set of (local root name, first attribute) pairs,
+      so ``m.f(...)`` can resolve to unit ``f`` of the module bound to ``m``.
+    bindings: local name -> (module, remote name | None); None = whole module
+      (``import M as m``).  Only ocr_engine_spark targets are kept.
+    star_deps: modules wildcard-imported or textually referenced -> depend on
+      ALL their units.
     """
-    import ast
 
-    # the package relative imports resolve against: parent for a plain module,
-    # the package itself for an __init__ — both are parts[:-1] ("__init__"
-    # drops away exactly like the module filename does)
-    pkg_parts = list(path.relative_to(REPO).with_suffix("").parts)[:-1]
-    refs: set[str] = set()
-    try:
-        tree = ast.parse(text)
-    except SyntaxError:
-        return refs
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Import):
-            refs.update(a.name for a in node.names)
-        elif isinstance(node, ast.ImportFrom):
-            if node.level:  # relative: resolve against this file's package
-                base_parts = pkg_parts[:len(pkg_parts) - (node.level - 1)]
-                base = ".".join(base_parts + ([node.module] if node.module else []))
+    def __init__(self, text: str, pkg_parts: list[str]):
+        self.units: dict[str, str] = {}
+        self.refs: dict[str, set[str]] = {}
+        self.attr_refs: dict[str, set[tuple[str, str]]] = {}
+        self.bindings: dict[str, tuple[str, str | None]] = {}
+        self.star_deps: set[str] = set()
+        self.parsed = False
+        try:
+            tree = ast.parse(text)
+        except SyntaxError:
+            return
+        self.parsed = True
+        toplevel_dumps: list[str] = []
+        ast_import_targets: set[str] = set()
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                self._add_unit(node.name, node)
+            elif isinstance(node, ast.Assign):
+                names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+                if names:
+                    for n in names:
+                        self._add_unit(n, node)
+                else:  # tuple/attribute targets: conservative
+                    toplevel_dumps.append(ast.dump(node))
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target,
+                                                                ast.Name):
+                self._add_unit(node.target.id, node)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    ast_import_targets.add(a.name)
+                    if a.name.startswith(PKG):
+                        self.bindings[a.asname or a.name.split(".")[0]] = (
+                            a.name, None)
+            elif isinstance(node, ast.ImportFrom):
+                src = _resolve_from(node.module, node.level, pkg_parts)
+                ast_import_targets.add(src)
+                if not src.startswith(PKG):
+                    continue
+                for a in node.names:
+                    if a.name == "*":
+                        self.star_deps.add(src)
+                    else:
+                        self.bindings[a.asname or a.name] = (src, a.name)
+            elif isinstance(node, ast.Expr) and isinstance(
+                    node.value, ast.Constant):
+                continue  # module docstring / bare string: no behavior
             else:
-                base = node.module or ""
-            refs.add(base)
-            refs.update(f"{base}.{a.name}" for a in node.names)
-    return {r for r in refs if r.startswith("ocr_engine_spark")}
+                toplevel_dumps.append(ast.dump(node))
+        if toplevel_dumps:
+            self.units[TOPLEVEL] = "\n".join(toplevel_dumps)
+        # dotted textual mentions not covered by an AST import: lazy
+        # importlib strings, docstring references -> depend on all of them
+        for dotted in set(_REF.findall(text)):
+            mod = dotted
+            while mod and mod not in ast_import_targets:
+                if "." not in mod:
+                    mod = ""
+                    break
+                mod = mod.rsplit(".", 1)[0]
+            if not mod:  # never AST-imported under any prefix
+                self.star_deps.add(dotted)
+
+    def _add_unit(self, name: str, node: ast.AST) -> None:
+        # a name defined twice (reassignment) folds into one unit whose hash
+        # covers every definition, so any redefinition change dirties it
+        dump = ast.dump(node)
+        self.units[name] = (self.units.get(name, "") + "\n" + dump).strip()
+        names: set[str] = self.refs.setdefault(name, set())
+        attrs: set[tuple[str, str]] = self.attr_refs.setdefault(name, set())
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Name) and isinstance(sub.ctx, ast.Load):
+                names.add(sub.id)
+            elif isinstance(sub, ast.Attribute) and isinstance(sub.value,
+                                                               ast.Name):
+                attrs.add((sub.value.id, sub.attr))
+            elif isinstance(sub, (ast.Import, ast.ImportFrom)):
+                # lazy in-function import: bind at module scope
+                # (conservative: names may shadow, but only widens deps)
+                pkg_parts_dummy: list[str] = []
+                if isinstance(sub, ast.Import):
+                    for a in sub.names:
+                        if a.name.startswith(PKG):
+                            self.bindings[a.asname or a.name.split(".")[0]] \
+                                = (a.name, None)
+                else:
+                    src = sub.module or ""
+                    if sub.level:
+                        # relative lazy import: cannot resolve without the
+                        # file context here; handled by caller re-walk below
+                        continue
+                    if src.startswith(PKG):
+                        for a in sub.names:
+                            if a.name == "*":
+                                self.star_deps.add(src)
+                            else:
+                                self.bindings[a.asname or a.name] = (src,
+                                                                     a.name)
+                del pkg_parts_dummy
 
 
-def reference_graph() -> dict[str, set[str]]:
-    """module -> set of ocr_engine_spark modules its file references (dotted
-    text mentions — lazy imports, strings — plus AST-resolved import forms)."""
-    graph: dict[str, set[str]] = {}
-    for path in (REPO / "ocr_engine_spark").rglob("*.py"):
-        text = path.read_text()
-        graph[_module_name(path)] = set(_REF.findall(text)) | _import_refs(path, text)
-    return graph
+def _module_text(base: str | None, path: pathlib.Path) -> str | None:
+    if base is None:  # working tree
+        try:
+            return path.read_text()
+        except OSError:
+            return None
+    rel = path.relative_to(REPO).as_posix()
+    proc = subprocess.run(["git", "show", f"{base}:{rel}"], cwd=REPO,
+                          capture_output=True, text=True, timeout=30)
+    return proc.stdout if proc.returncode == 0 else None
 
 
-def dirty_modules(changed: set[str]) -> set[str]:
-    """Transitive closure: modules that can reach a changed module."""
-    graph = reference_graph()
-    seed = set()
-    for f in changed:
-        if f.startswith("ocr_engine_spark/") and f.endswith(".py"):
-            seed.add(_module_name(REPO / f))
-    dirty = set(seed)
+def _load_infos(base: str | None) -> dict[str, ModuleInfo]:
+    infos: dict[str, ModuleInfo] = {}
+    for path in sorted((REPO / PKG).rglob("*.py")):
+        text = _module_text(base, path)
+        if text is None:
+            continue
+        pkg_parts = list(path.relative_to(REPO).with_suffix("").parts)[:-1]
+        infos[_module_name(path)] = ModuleInfo(text, pkg_parts)
+    return infos
+
+
+def dirty_units(base: str) -> tuple[dict[str, set[str]], dict[str, set[str]]]:
+    """Returns (dirty, seed): module -> dirty unit names ('*' = all units).
+
+    ``seed`` holds only DIRECTLY edited units (structural diff vs base);
+    ``dirty`` adds everything reachable from a seed through name references.
+    The distinction drives the overflow policy: a directly-edited query is
+    tier 1 (must be driver-checked), a ripple-dirty one is tier 2.
+    """
+    changed = changed_files(base)
+    changed_mods = {_module_name(REPO / f) for f in changed
+                    if f.startswith(f"{PKG}/") and f.endswith(".py")}
+    head = _load_infos(None)
+    old = _load_infos(base)
+    return propagate_dirty(head, seed_dirty(head, old, changed_mods))
+
+
+def seed_dirty(head: dict[str, "ModuleInfo"], old: dict[str, "ModuleInfo"],
+               changed_mods: set[str]) -> dict[str, set[str]]:
+    """Per-unit structural diffs inside changed modules (the tier-1 seed)."""
+    dirty: dict[str, set[str]] = {}
+
+    def mark(mod: str, unit: str) -> None:
+        dirty.setdefault(mod, set()).add(unit)
+
+    for mod in changed_mods:
+        h, o = head.get(mod), old.get(mod)
+        if h is None or o is None or not h.parsed or not o.parsed:
+            if h is not None:
+                mark(mod, ALL)
+            continue
+        if h.units.get(TOPLEVEL, "") != o.units.get(TOPLEVEL, ""):
+            mark(mod, ALL)
+            continue
+        if h.bindings != o.bindings or h.star_deps != o.star_deps:
+            # an import binding moved: dirty every unit referencing a moved
+            # name (cheap superset: any unit referencing any rebound name)
+            moved = {n for n in set(h.bindings) | set(o.bindings)
+                     if h.bindings.get(n) != o.bindings.get(n)}
+            for unit, names in h.refs.items():
+                if names & moved:
+                    mark(mod, unit)
+        for unit, dump in h.units.items():
+            if o.units.get(unit) != dump:
+                mark(mod, unit)
+        for unit in o.units:
+            if unit not in h.units:
+                # removed definition: anything resolving to it is unresolvable
+                mark(mod, unit)
+    return dirty
+
+
+def propagate_dirty(head: dict[str, "ModuleInfo"],
+                    seed: dict[str, set[str]],
+                    ) -> tuple[dict[str, set[str]], dict[str, set[str]]]:
+    """Fixpoint closure of the seed through name references on HEAD."""
+    dirty = {mod: set(us) for mod, us in seed.items()}
+    for mod in head:
+        dirty.setdefault(mod, set())
+
+    def is_dirty(mod: str, unit: str | None) -> bool:
+        d = dirty.get(mod)
+        if d is None:  # module outside the scan: treat as clean (external)
+            return False
+        if ALL in d:
+            return True
+        if unit is None:  # whole-module dependency
+            return bool(d)
+        if unit in d:
+            return True
+        info = head.get(mod)
+        if info is not None and info.parsed and unit not in info.units \
+                and unit not in info.bindings:
+            # unresolvable attribute/name on this module -> conservative
+            return bool(d)
+        if info is not None and unit in info.bindings:
+            tgt_mod, tgt_unit = info.bindings[unit]
+            return is_dirty(tgt_mod, tgt_unit)
+        return False
+
+    # fixpoint propagation through name references
     while True:
         grew = False
-        for mod, refs in graph.items():
-            if mod in dirty:
+        for mod, info in head.items():
+            if not info.parsed:
+                if ALL not in dirty[mod]:
+                    dirty[mod].add(ALL)
+                    grew = True
                 continue
-            # package references resolve because _module_name maps a package's
-            # __init__.py to the bare package name, so its refs chain onward
-            if any(r in dirty for r in refs):
-                dirty.add(mod)
+            if ALL in dirty[mod]:
+                continue
+            if any(is_dirty(s, None) for s in info.star_deps):
+                dirty[mod].add(ALL)
                 grew = True
+                continue
+            for unit in info.units:
+                if unit in dirty[mod] or unit == TOPLEVEL:
+                    continue
+                hit = False
+                for name in info.refs.get(unit, ()):
+                    if name in info.bindings:
+                        tgt_mod, tgt_unit = info.bindings[name]
+                        if is_dirty(tgt_mod, tgt_unit):
+                            hit = True
+                            break
+                    elif name in info.units and name in dirty[mod]:
+                        hit = True
+                        break
+                if not hit:
+                    for root, attr in info.attr_refs.get(unit, ()):
+                        if root in info.bindings:
+                            tgt_mod, tgt_unit = info.bindings[root]
+                            if tgt_unit is None:  # import M as m; m.attr
+                                if is_dirty(tgt_mod, attr):
+                                    hit = True
+                                    break
+                            elif is_dirty(tgt_mod, tgt_unit):
+                                hit = True
+                                break
+                if hit:
+                    dirty[mod].add(unit)
+                    grew = True
         if not grew:
-            return dirty
+            return dirty, seed
 
 
 def oracle_entries(text: str) -> dict[str, str]:
@@ -140,35 +366,71 @@ def dirty_oracles(base: str) -> set[str]:
     return {k for k, v in o_new.items() if o_old.get(k) != v}
 
 
-def check() -> list[str]:
-    """Returns a list of violation strings (empty = pass)."""
+def check(verbose: bool = False) -> list[str]:
+    """Returns a list of violation strings (empty = pass).
+
+    Policy (two tiers; the window only has 50 slots, so when an
+    infrastructure edit ripples into more than 50 queries, someone must
+    overflow — but never silently and never a directly-edited query):
+
+    - tier 1 (own function edited, or oracle text changed): MUST sit inside
+      the window — hard violation otherwise;
+    - tier 2 (dirty only through the reference closure): may overflow past
+      the window ONLY when every window slot is already occupied by a dirty
+      query (a clean query squatting in the window while a dirty one
+      overflows is a violation).  Overflowed tier-2 queries remain covered:
+      tests/test_contract_tail.py oracle-checks every tail entry per pytest
+      run, and this tool prints the overflow set so it is never invisible.
+    """
     base = last_round_commit()
     if base is None:
         return []
     import __spark_entry__ as entrymod
 
-    changed = changed_files(base)
-    mods = dirty_modules(changed)
+    units, seed = dirty_units(base)
     oracles = dirty_oracles(base)
     qs = entrymod.queries()
+
+    def is_dirty(fn) -> bool:
+        d = units.get(fn.__module__, set())
+        return ALL in d or fn.__name__ in d
+
+    def is_tier1(name: str, fn) -> bool:
+        s = seed.get(fn.__module__, set())
+        return ALL in s or fn.__name__ in s or name in oracles
+
+    names = list(qs)
+    window_names = names[:WINDOW]
+    window_all_dirty = all(is_dirty(qs[n]) for n in window_names)
+    n_dirty = sum(1 for n in names if is_dirty(qs[n]))
+
     violations = []
-    for pos, name in enumerate(qs):
+    for pos, name in enumerate(names):
         if pos < WINDOW:
             continue
         fn = qs[name]
-        why = []
-        if fn.__module__ in mods:
-            why.append(f"module {fn.__module__} changed since {base[:8]}")
-        if name in oracles:
-            why.append("oracle text changed")
-        if why:
+        dirty = is_dirty(fn)
+        if not dirty and name not in oracles:
+            continue
+        if is_tier1(name, fn):
             violations.append(
-                f"{name} at position {pos + 1} (> {WINDOW}): " + "; ".join(why))
+                f"{name} at position {pos + 1} (> {WINDOW}): directly edited "
+                f"(tier 1) since {base[:8]} — must be driver-checked")
+        elif n_dirty <= WINDOW or not window_all_dirty:
+            violations.append(
+                f"{name} at position {pos + 1} (> {WINDOW}): unit "
+                f"{fn.__module__}.{fn.__name__} dirty since {base[:8]} and "
+                f"the window has room (dirty={n_dirty}, window all dirty="
+                f"{window_all_dirty})")
+        elif verbose:
+            print(f"[window] overflow (tier 2, tail-suite covered): {name} "
+                  f"at position {pos + 1} — window saturated with "
+                  f"{n_dirty} dirty queries")
     return violations
 
 
 def main() -> None:
-    violations = check()
+    violations = check(verbose=True)
     for v in violations:
         print(f"[window] {v}")
     if violations:
