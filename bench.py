@@ -68,6 +68,8 @@ HEADLINE = [
     "token_budget",
     "sequence_pack",
     "exact_dedup",
+    "paragraph_dedup",
+    "boilerplate_strip",
     "ngram_jaccard_pairs",
     "dedup_clusters",
     "minhash_lsh_pairs",
@@ -93,6 +95,7 @@ HEADLINE = [
     "conv_dedup",
     "source_mix",
     "conv_assemble_capped",
+    "conv_neardup",
     "pipeline_e2e",
 ]
 
