@@ -815,41 +815,36 @@ def boilerplate_strip(docs: DataFrame, width: int = CHUNK_WORDS,
     """Remove chunks appearing in >= min_docs DISTINCT documents from every
     document; returns (doc_id, n_chunks, n_removed, clean_text).
 
-    100 TB shape: the boilerplate set (chunks crossing the document-frequency
-    threshold) is orders of magnitude smaller than the chunk set, so the strip
-    is a broadcast LEFT ANTI join against it — zero shuffle of the corpus-side
-    chunks beyond the frequency aggregate (itself map-side combinable on the
-    digest).  When the boilerplate set outgrows the broadcast threshold Spark's
-    planner falls back to a shuffled anti join on the same plan; AQE picks per
-    its runtime size estimate (the hint is advisory, not forced).
+    100 TB shape — two chunk-set scans total, one regroup, no join-back:
+      1. frequency pass: groupBy(digest) with count_distinct(doc_id), map-side
+         combinable; the surviving boilerplate set (chunks crossing the
+         threshold) is orders of magnitude smaller than the chunk set, so it
+         broadcasts.  When it outgrows the broadcast threshold Spark falls
+         back to a shuffled join on the same plan; AQE picks per its runtime
+         size estimate (the hint is advisory, not forced).
+      2. flag pass: broadcast LEFT join marks each chunk removed/kept, then a
+         SINGLE groupBy(doc_id) computes totals, removed count, and the
+         cleaned text in one aggregate — the separate totals scan and the
+         totals⋈kept join a naive spelling would add never materialize.
     """
-    ch = chunk_documents(docs, width)
+    ch = chunk_documents(docs, width).withColumn("digest", F.md5("chunk"))
     boiler = (
-        ch.groupBy(F.md5("chunk").alias("digest"))
+        ch.groupBy("digest")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("digest")
+        .select("digest", F.lit(True).alias("is_boiler"))
     )
-    kept = ch.withColumn("digest", F.md5("chunk")).join(
-        F.broadcast(boiler), "digest", "left_anti")
-    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    flagged = ch.join(F.broadcast(boiler), "digest", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.count("is_boiler").cast("bigint").alias("n_removed"),
         F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(cidx, chunk))),"
+            F.expr("transform(array_sort(collect_list("
+                   "  CASE WHEN is_boiler IS NULL"
+                   "       THEN struct(cidx, chunk) END)),"
                    " s -> s.chunk)"),
             " ",
         ).alias("clean_text"),
-    )
-    return (
-        totals.join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_chunks").cast("bigint").alias("n_chunks"),
-            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("bigint").alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
     )
 
 
