@@ -19,6 +19,7 @@ the Spark layer (one call per Arrow batch — zero per-row Python at the Spark b
 from __future__ import annotations
 
 import re
+import unicodedata
 
 import numpy as np
 import pandas as pd
@@ -169,8 +170,10 @@ OUTPUT_COLUMNS = [
 #
 # Shared foundations, each PROVEN exact and pinned by the equivalence suites:
 #
-#   - canonicalize/deskew are batch pandas .str passes (multiline quote strip,
-#     '>'-count angle, \S non-blank counting == str.isspace, verified);
+#   - canonicalize/deskew are batch Arrow-compute passes (kernel/astr.py:
+#     RE2 + utf8proc over one large_string array, no per-row Python) —
+#     multiline quote strip, '>'-count angle, \S non-blank counting ==
+#     str.isspace, verified;
 #   - NMS keeps every span (parser spans are disjoint; IoU 0 <= thr);
 #   - with zero span margins, prepare_spans is the identity on trimmed ints;
 #   - recognition = format decode + placeholder->space + whitespace collapse +
@@ -216,9 +219,54 @@ _NONBLANK_LINE = re.compile(r"(?m)^.*\S")
 _CTRL = _CC_EXCEPT_TAB_NL
 _WS_RUN = _WS
 
+# ---------------------------------------------------------------------------
+# RE2 translations of the batch patterns for the Arrow string layer
+# (kernel/astr.py).  RE2's \w/\d/\s diverge from CPython's, so the perl
+# classes are spelled as this interpreter's own codepoint ranges
+# (_uniclasses, exhaustively re-verified by tests/test_astr.py); each
+# translated pattern is pinned against its re original above — pattern by
+# pattern by tests/test_r2_translations.py (UTF-8 fuzz per operation), and
+# end-to-end by test_fastpath_equiv's fuzzes + the golden suite.  Python's `$`
+# also matches before a trailing '\n' while RE2's does not — translated
+# `$`-patterns run only on newline-free inputs (exploded lines / collapsed
+# segments).
+# ---------------------------------------------------------------------------
+from ocr_engine_spark.kernel import astr  # noqa: E402
+from ocr_engine_spark.kernel._uniclasses import (  # noqa: E402
+    D_BODY as _D, S_BODY as _S, W_BODY as _W,
+)
 
-def _deskew_columns(canon: pd.Series):
-    """Vectorized deskew over the batch: (deskewed, is_blank, angle).
+_R2_NON_TEXTY = f"[^ .,;:!?'’\\-{_W}]"
+_R2_WS_RUN = f"[{_S}]+"
+_R2_CTRL = r"[\x00-\x08\x0b-\x1f\x7f-\x9f]"
+_R2_QUOTE_ML = r"(?m)^(?:> ?)+"
+_R2_QUOTE_GATE = r"(?m)^>"
+_R2_PREFIX_ONLY = r"(?m)^((?:> ?)+)?[^\n]*"
+_R2_NONBLANK_LINE = f"(?m)^.*[^{_S}]"
+_R2_HTML_TAG = r"<[A-Za-z!/][^>]*>"
+_R2_MD_GATE = (
+    f"(?:^|\\n)[{_S}]{{0,3}}(?:#{{1,6}}[{_S}]|[-*+][{_S}]|[{_D}]+\\.[{_S}]|```)"
+    r"|\[[^\]]+\]\([^)]*\)|\*\*")
+_R2_MD_FENCE = f"^[{_S}]{{0,3}}```"
+_R2_MD_LEAD = (f"^[{_S}]{{0,3}}"
+               f"(#{{1,6}}[{_S}]+|[-*+][{_S}]+|[{_D}]+\\.[{_S}]+)")
+_R2_MD_LINK = r"\[([^\]]*)\]\(([^)]*)\)"
+_R2_MD_EMPH = r"(\*\*|__|`)"
+_R2_NUMERIC = (
+    f"^(?:[-+$€£]?[{_S}]?[{_D}]{{1,3}}(?:[,.][{_D}]{{3}})*(?:[.,][{_D}]+)?%?"
+    f"|[{_D}]{{4}}-[{_D}]{{2}}-[{_D}]{{2}}"
+    f"(?:[ T][{_D}]{{2}}:[{_D}]{{2}}(?::[{_D}]{{2}})?)?"
+    f"|[{_D}]{{1,2}}/[{_D}]{{1,2}}/[{_D}]{{2,4}})$")
+_R2_CRLF = "\r\n?"
+# lstrip().slice(0,1).isin("{[") as one anchored scan (no lstrip corpus copy)
+_R2_JSON_START = f"^[{_S}]*[{{\\[]"
+# every match of this consumes exactly one '&', and two matches can never
+# share one, so (#'&' > #safe-refs) <=> _UNSAFE_AMP's lookahead fires
+_R2_SAFE_REF = r"&(?:amp|lt|gt|quot|apos|#39|#x27);"
+
+
+def _deskew_columns(canon):
+    """Vectorized deskew over the batch: (deskewed: pa.Array, is_blank, angle).
 
     Exact restatement of canonicalize.deskew: the multiline quote-prefix strip
     equals the per-line strip (only '\\n' newlines remain after canonicalize);
@@ -228,23 +276,20 @@ def _deskew_columns(canon: pd.Series):
     to '' iff it has no non-whitespace char; `\\s` equals str.isspace for every
     codepoint — verified exhaustively).
     """
-    # quote handling only touches rows that HAVE a quote-prefixed line (a
-    # line's prefix regex fires iff the line starts with '>', which one cheap
-    # contains gate detects) — on mostly-unquoted corpora this replaces two
-    # full-batch regex passes with subset passes over the ~14% quoted rows
-    quoted = canon.str.contains(_QUOTE_GATE, regex=True).to_numpy()
-    qpos = np.flatnonzero(quoted)
+    # the prefix-count pass only touches rows that HAVE a quote-prefixed line
+    # (a line's prefix regex fires iff the line starts with '>', which one
+    # cheap contains gate detects); the strip itself is one full-batch RE2
+    # GlobalReplace — a single C++ scan, skipped entirely on unquoted batches
+    quoted = astr.contains_re(canon, _R2_QUOTE_GATE)
     gt = np.zeros(len(canon), dtype=np.int64)
-    if len(qpos):
-        sub = canon.iloc[qpos]
-        desk_vals = canon.to_numpy().copy()
-        desk_vals[qpos] = sub.str.replace(_QUOTE_ML, "", regex=True).to_numpy()
-        desk = pd.Series(desk_vals, dtype=object)
-        gt[qpos] = (sub.str.replace(_PREFIX_ONLY, r"\1", regex=True)
-                    .str.count(">").to_numpy())
+    if quoted.any():
+        desk = astr.replace_re(canon, _R2_QUOTE_ML, "")
+        qpos = np.flatnonzero(quoted)
+        pref = astr.replace_re(astr.take(canon, qpos), _R2_PREFIX_ONLY, r"\1")
+        gt[qpos] = astr.count_lit(pref, ">")
     else:
         desk = canon
-    nb = canon.str.count(_NONBLANK_LINE).to_numpy()
+    nb = astr.count_re(canon, _R2_NONBLANK_LINE)
     angle = np.where(nb > 0, gt / np.maximum(nb, 1), 0.0)
     return desk, nb == 0, angle
 
@@ -291,12 +336,12 @@ def _route_masks(desk: pd.Series, cfg: EngineConfig, declared=None):
     undeclared row (detect_spans' permissive fall-through).
     """
     n = len(desk)
-    g_tag = desk.str.contains(_HTML_TAG, regex=True).to_numpy()
-    g_md = desk.str.contains(_MD_GATE, regex=True).to_numpy()
-    g_json = desk.str.lstrip().str.slice(0, 1).isin(("{", "[")).to_numpy()
-    g_ctrl = desk.str.contains(_CTRL, regex=True).to_numpy()
+    g_tag = astr.contains_re(desk, _R2_HTML_TAG)
+    g_md = astr.contains_re(desk, _R2_MD_GATE)
+    g_json = astr.contains_re(desk, _R2_JSON_START)
+    g_ctrl = astr.contains_re(desk, _R2_CTRL)
     if cfg.max_seq_len:
-        g_len = (desk.str.len() <= 2 * cfg.max_seq_len - 1).to_numpy()
+        g_len = astr.length(desk) <= 2 * cfg.max_seq_len - 1
     else:
         g_len = np.ones(n, dtype=bool)
     base = ~g_ctrl & g_len
@@ -329,17 +374,15 @@ def _route_masks(desk: pd.Series, cfg: EngineConfig, declared=None):
     return plain, md, html, json_, forced
 
 
-def _line_frame(desk: pd.Series):
+def _line_frame(desk):
     """Explode rows into lines with absolute in-document line-start offsets.
 
-    Returns (lines, row, line_start): ``lines`` RangeIndex-ed, ``row`` the
+    Returns (lines, row, line_start): ``lines`` a flat pa.Array, ``row`` the
     repeated (non-decreasing) source row position, ``line_start`` the offset of
     each line's first char within its own document.
     """
-    lines = desk.str.split("\n").explode()
-    row = lines.index.to_numpy()
-    lines = lines.reset_index(drop=True)
-    ll1 = lines.str.len().to_numpy() + 1
+    row, lines = astr.split_explode(desk, "\n")
+    ll1 = astr.length(lines) + 1
     cum = np.cumsum(ll1) - ll1
     if len(row):
         # per-line base = cum at the row's first line (cum is increasing, so a
@@ -349,6 +392,17 @@ def _line_frame(desk: pd.Series):
     else:
         row_base = cum
     return lines, row, cum - row_base
+
+
+def _group_cumsum(flags: np.ndarray, row: np.ndarray) -> np.ndarray:
+    """Inclusive cumsum of ``flags`` within each contiguous ``row`` group
+    (the groupby(row).cumsum() of the exploded line frame, loop-free)."""
+    c = np.cumsum(flags.astype(np.int64))
+    if not len(row):
+        return c
+    is_first = np.r_[True, row[1:] != row[:-1]]
+    base = np.maximum.accumulate(np.where(is_first, c - flags, 0))
+    return c - base
 
 
 def _token_min_conf(collapsed: pd.Series, nbad: np.ndarray) -> np.ndarray:
@@ -365,12 +419,13 @@ def _token_min_conf(collapsed: pd.Series, nbad: np.ndarray) -> np.ndarray:
     conf_cls = np.ones(len(collapsed))
     dirty = np.flatnonzero(nbad > 0)
     if len(dirty):
-        toks = collapsed.iloc[dirty].str.split(" ").explode()
-        tl = toks.str.len().to_numpy().astype(np.float64)
-        tb = toks.str.count(_NON_TEXTY).to_numpy()
+        trow, toks = astr.split_explode(astr.take(collapsed, dirty), " ")
+        tl = astr.length(toks).astype(np.float64)
+        tb = astr.count_re(toks, _R2_NON_TEXTY)
         tconf = np.where(tb > 0, (tl - tb) / np.maximum(tl, 1.0), 1.0)
-        tmin = pd.Series(tconf, index=toks.index).groupby(level=0).min()
-        conf_cls[tmin.index.to_numpy()] = tmin.to_numpy()
+        tmin = np.ones(len(dirty))
+        np.minimum.at(tmin, trow, tconf)  # group-min (every row has >=1 token)
+        conf_cls[dirty] = tmin
     return conf_cls
 
 
@@ -406,51 +461,53 @@ def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len, kline=None):
     return extracted, spans_out, n_spans, strip_ratio
 
 
-def _recognize_series(seg: pd.Series, cfg: EngineConfig,
-                      strip_ctrl: bool = False) -> pd.Series:
+def _recognize_series(seg, cfg: EngineConfig, strip_ctrl: bool = False):
     """Vectorized recognition tail shared by every closed form, in the scalar
     kernel's exact order: control strip -> placeholder->space remap ->
     whitespace collapse -> trim.  ``strip_ctrl`` is only needed by the html/
     json paths, whose decodes can INTRODUCE controls (numeric refs, escapes);
-    the masks exclude raw controls, so plain/markdown skip that pass."""
+    the masks exclude raw controls, so plain/markdown skip that pass.
+    Arrow in, Arrow out — the whole chain stays in RE2/utf8proc."""
+    a = astr.arr(seg)
     if strip_ctrl:
-        seg = seg.str.replace(_CTRL, "", regex=True)
+        a = astr.replace_re(a, _R2_CTRL, "")
     if cfg.placeholder_char:
-        seg = seg.str.replace(cfg.placeholder_char, " ", regex=False)
-    return seg.str.replace(_WS_RUN, " ", regex=True).str.strip()
+        a = astr.replace_lit(a, cfg.placeholder_char, " ")
+    return astr.strip(astr.replace_re(a, _R2_WS_RUN, " "))
 
 
-def _fast_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig):
+def _fast_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig):
     """Closed-form PLAIN outputs for fast rows (positional index 0..k-1).
 
     Returns (extracted, spans, n_spans, strip_ratio) as aligned arrays/lists.
     """
     k = len(desk)
     lines, row, line_start = _line_frame(desk)
-    ll = lines.str.len()
-    seg = lines.str.strip()
-    slen = seg.str.len().to_numpy()
-    lead = (ll - lines.str.lstrip().str.len()).to_numpy()
+    ll = astr.length(lines)
+    seg = astr.strip(lines)
+    slen = astr.length(seg)
+    lead = ll - astr.length(astr.lstrip(lines))
     abs_s = lead + line_start
     abs_e = abs_s + slen
 
-    nbad = seg.str.count(_NON_TEXTY).to_numpy()
+    nbad = astr.count_re(seg, _R2_NON_TEXTY)
     with np.errstate(invalid="ignore", divide="ignore"):
         conf_det = np.where(slen > 0, (slen - nbad) / np.maximum(slen, 1), 0.0)
     keep = (slen > 0) & (conf_det >= cfg.score_thr)
 
-    kseg = seg[keep].reset_index(drop=True)
+    kseg = astr.take(seg, keep)
     krow = row[keep]
     final = _recognize_series(kseg, cfg)
-    nonblank = (final.str.len().to_numpy() > 0 if len(final)
+    nonblank = (astr.length(final) > 0 if len(final)
                 else np.array([], dtype=bool))  # F7: placeholder-only lines
-    final = final[nonblank].reset_index(drop=True)
+    final = astr.take(final, nonblank)
     krow = krow[nonblank]
     conf_cls = _token_min_conf(final, nbad[keep][nonblank])  # dirty-superset
-    is_num = (final.str.match(_NUMERIC).to_numpy()
+    # _R2_NUMERIC carries `$`: exact because collapsed segments are newline-free
+    is_num = (astr.match_re(final, _R2_NUMERIC)
               if len(final) else np.array([], dtype=bool))
     kinds = np.where(is_num, "num", "text")
-    return _assemble(k, krow, final.to_numpy(), abs_s[keep][nonblank],
+    return _assemble(k, krow, astr.npy(final), abs_s[keep][nonblank],
                      abs_e[keep][nonblank], kinds, conf_cls, raw_len)
 
 
@@ -460,7 +517,7 @@ _MD_FENCE_LINE = _MD_FENCE
 _MD_LEAD_STRIP = _MD_LEAD
 
 
-def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
+def _md_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
                 forced=None):
     """Closed-form MARKDOWN outputs (detect.parse_markdown + recognition):
     fence lines toggle skipping (parity of fences before the line), leading
@@ -475,25 +532,25 @@ def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
     """
     k = len(desk)
     lines, row, line_start = _line_frame(desk)
-    ll = lines.str.len()
+    ll = astr.length(lines)
 
     # --- plain parser's passing count (competes in the vote) ---
-    seg_p = lines.str.strip()
-    slen_p = seg_p.str.len().to_numpy()
-    nbad_p = seg_p.str.count(_NON_TEXTY).to_numpy()
+    seg_p = astr.strip(lines)
+    slen_p = astr.length(seg_p)
+    nbad_p = astr.count_re(seg_p, _R2_NON_TEXTY)
     with np.errstate(invalid="ignore", divide="ignore"):
         conf_p = np.where(slen_p > 0, (slen_p - nbad_p) / np.maximum(slen_p, 1),
                           0.0)
     plain_pass = (slen_p > 0) & (conf_p >= cfg.score_thr)
 
     # --- markdown parser ---
-    fence = lines.str.match(_MD_FENCE_LINE).to_numpy()
-    fcum = pd.Series(fence.astype(np.int64)).groupby(row).cumsum().to_numpy()
+    fence = astr.match_re(lines, _R2_MD_FENCE)
+    fcum = _group_cumsum(fence, row)
     in_fence = ((fcum - fence) % 2) == 1  # parity of fences BEFORE this line
-    rem = lines.str.replace(_MD_LEAD_STRIP, "", regex=True)
-    seg_m = rem.str.strip()
-    mlen = seg_m.str.len().to_numpy()
-    nbad_m = seg_m.str.count(_NON_TEXTY).to_numpy()
+    rem = astr.replace_re(lines, _R2_MD_LEAD, "")
+    seg_m = astr.strip(rem)
+    mlen = astr.length(seg_m)
+    nbad_m = astr.count_re(seg_m, _R2_NON_TEXTY)
     with np.errstate(invalid="ignore", divide="ignore"):
         conf_m = np.where(mlen > 0, (mlen - nbad_m) / np.maximum(mlen, 1), 0.0)
     md_pass = (~fence) & (~in_fence) & (slen_p > 0) & (mlen > 0) \
@@ -511,29 +568,28 @@ def _md_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
     keep = md_pass & ~plain_wins[row]
     # span offsets: original detected interval = trim of the marker-stripped
     # remainder (rem = line[lead_end:], so positions map via length deltas)
-    rlen = rem.str.len().to_numpy()
-    rl_lead = (rlen - rem.str.lstrip().str.len().to_numpy())
-    abs_s = line_start + (ll.to_numpy() - rlen) + rl_lead
+    rlen = astr.length(rem)
+    rl_lead = rlen - astr.length(astr.lstrip(rem))
+    abs_s = line_start + (ll - rlen) + rl_lead
     abs_e = abs_s + mlen
 
-    kseg = seg_m[keep].reset_index(drop=True)
+    kseg = astr.take(seg_m, keep)
     krow = row[keep]
     # recognition (normalize.recognize_one, kind='markdown'): inline link ->
     # label, emphasis markers dropped, whitespace collapsed, trimmed
     final = _recognize_series(
-        kseg.str.replace(_MD_LINK, r"\1", regex=True)
-        .str.replace(_MD_EMPH, "", regex=True), cfg)
-    flen = final.str.len().to_numpy()
-    nonblank = flen > 0  # F7: blank-after-recognition dropped
-    final = final[nonblank].reset_index(drop=True)
+        astr.replace_re(astr.replace_re(kseg, _R2_MD_LINK, r"\1"),
+                        _R2_MD_EMPH, ""), cfg)
+    nonblank = astr.length(final) > 0  # F7: blank-after-recognition dropped
+    final = astr.take(final, nonblank)
     krow = krow[nonblank]
     conf_cls = _token_min_conf(final, nbad_m[keep][nonblank])  # dirty-superset
-    is_num = final.str.match(_NUMERIC).to_numpy()
+    is_num = astr.match_re(final, _R2_NUMERIC)  # newline-free segments
     kinds = np.where(is_num, "num", "markdown")
     ks = abs_s[keep][nonblank]
     ke = abs_e[keep][nonblank]
     extracted, spans_out, n_spans, strip_ratio = _assemble(
-        k, krow, final.to_numpy(), ks, ke, kinds, conf_cls, raw_len)
+        k, krow, astr.npy(final), ks, ke, kinds, conf_cls, raw_len)
     return extracted, spans_out, n_spans, strip_ratio, plain_wins
 
 
@@ -587,7 +643,7 @@ def _html_runs(text: str):
     return out
 
 
-def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
+def _html_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
                   forced=None):
     """Closed-form HTML outputs + the exact E4 vote.
 
@@ -597,7 +653,7 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
     (declared-kind dispatch) win outright — no vote runs for them.
     """
     k = len(desk)
-    texts = desk.to_numpy()
+    texts = astr.npy(desk)
     rrow, rs, re_, rlink, rline = [], [], [], [], []
     for ridx in range(k):
         for s, e, lk, ln in _html_runs(texts[ridx]):
@@ -611,11 +667,10 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
     re_ = np.asarray(re_, dtype=np.int64)
     rlink = np.asarray(rlink, dtype=bool)
     rline = np.asarray(rline, dtype=np.int64)
-    seg = pd.Series([texts[r][s:e] for r, s, e in zip(rrow, rs, re_)],
-                    dtype=object)
+    seg = astr.arr([texts[r][s:e] for r, s, e in zip(rrow, rs, re_)])
 
     slen = (re_ - rs).astype(np.float64)
-    nbad = seg.str.count(_NON_TEXTY).to_numpy() if len(seg) else np.array([])
+    nbad = astr.count_re(seg, _R2_NON_TEXTY) if len(seg) else np.array([])
     with np.errstate(invalid="ignore", divide="ignore"):
         conf = np.where(slen > 0, (slen - nbad) / np.maximum(slen, 1), 0.0)
     conf = np.where(rlink, conf * _LINK_PENALTY, conf)
@@ -626,10 +681,10 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
 
     # --- competing parsers' counts (tagged lines provably fail: x0.2 < thr) ---
     lines, lrow, _ = _line_frame(desk)
-    seg_p = lines.str.strip()
-    slen_p = seg_p.str.len().to_numpy()
-    tagged = lines.str.contains(_TAGLIKE_GATE, regex=True).to_numpy()
-    nbad_p = seg_p.str.count(_NON_TEXTY).to_numpy()
+    seg_p = astr.strip(lines)
+    slen_p = astr.length(seg_p)
+    tagged = astr.contains_re(lines, _R2_HTML_TAG)
+    nbad_p = astr.count_re(seg_p, _R2_NON_TEXTY)
     with np.errstate(invalid="ignore", divide="ignore"):
         conf_p = np.where(slen_p > 0,
                           (slen_p - nbad_p) / np.maximum(slen_p, 1), 0.0)
@@ -637,17 +692,17 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
     pmask = (slen_p > 0) & ~tagged & (conf_p >= cfg.score_thr)
     np.add.at(cp, lrow[pmask], 1)
 
-    md_app = desk.str.contains(_MD_GATE, regex=True).to_numpy()
+    md_app = astr.contains_re(desk, _R2_MD_GATE)
     cm = np.zeros(k, dtype=np.int64)
     if md_app.any():
-        fence = lines.str.match(_MD_FENCE_LINE).to_numpy()
-        fcum = pd.Series(fence.astype(np.int64)).groupby(lrow).cumsum().to_numpy()
+        fence = astr.match_re(lines, _R2_MD_FENCE)
+        fcum = _group_cumsum(fence, lrow)
         in_fence = ((fcum - fence) % 2) == 1
-        rem = lines.str.replace(_MD_LEAD_STRIP, "", regex=True)
-        seg_m = rem.str.strip()
-        mlen = seg_m.str.len().to_numpy()
-        tagged_m = seg_m.str.contains(_TAGLIKE_GATE, regex=True).to_numpy()
-        nbad_m = seg_m.str.count(_NON_TEXTY).to_numpy()
+        rem = astr.replace_re(lines, _R2_MD_LEAD, "")
+        seg_m = astr.strip(rem)
+        mlen = astr.length(seg_m)
+        tagged_m = astr.contains_re(seg_m, _R2_HTML_TAG)
+        nbad_m = astr.count_re(seg_m, _R2_NON_TEXTY)
         with np.errstate(invalid="ignore", divide="ignore"):
             conf_m = np.where(mlen > 0,
                               (mlen - nbad_m) / np.maximum(mlen, 1), 0.0)
@@ -660,7 +715,8 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
         html_wins |= forced  # declared html: no E4 vote
 
     fkeep = keep & html_wins[rrow] if len(rrow) else keep
-    kseg = seg[fkeep].reset_index(drop=True)
+    kseg = astr.take(seg, fkeep)
+    knp = astr.npy(kseg)  # originals for the unescape fallback below
     # recognition: entity decode — runs whose every '&' starts a safe ref take
     # the ordered literal-replace chain (== unescape's single pass, amp last);
     # runs with any other ref call html.unescape directly (exact by identity)
@@ -668,28 +724,32 @@ def _html_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
     for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                      ("&apos;", "'"), ("&#39;", "'"), ("&#x27;", "'"),
                      ("&amp;", "&")):
-        final = final.str.replace(ent, rep, regex=False)
-    unsafe = (kseg.str.contains(_UNSAFE_AMP, regex=True).to_numpy()
-              if len(kseg) else np.array([], dtype=bool))
+        final = astr.replace_lit(final, ent, rep)
+    # RE2 has no lookahead: _UNSAFE_AMP fires iff some '&' does NOT start a
+    # safe ref — and since every safe-ref match consumes exactly one '&' (no
+    # internal '&', so the non-overlapping scan can't skip one), that is
+    # exactly (#'&' > #safe-ref matches)
+    unsafe = (astr.count_lit(kseg, "&") > astr.count_re(kseg, _R2_SAFE_REF)
+              if len(knp) else np.array([], dtype=bool))
     if unsafe.any():
         import html as _htmllib
 
-        vals = final.to_numpy()
+        vals = astr.npy(final)
         for i in np.flatnonzero(unsafe):
-            vals[i] = _htmllib.unescape(kseg.iat[i])
-        final = pd.Series(vals, dtype=object)
+            vals[i] = _htmllib.unescape(knp[i])
+        final = astr.arr(vals)
     final = _recognize_series(final, cfg, strip_ctrl=True)
-    nonblank = (final.str.len().to_numpy() > 0 if len(final)
+    nonblank = (astr.length(final) > 0 if len(final)
                 else np.array([], dtype=bool))  # F7: placeholder-only runs
-    final = final[nonblank].reset_index(drop=True)
+    final = astr.take(final, nonblank)
     fkeep2 = np.flatnonzero(fkeep)[nonblank] if len(rrow) else np.array([], int)
     fb = nbad[fkeep][nonblank] if len(rrow) else np.array([])  # dirty-superset
     conf_cls = _token_min_conf(final, fb)
-    is_num = (final.str.match(_NUMERIC).to_numpy()
+    is_num = (astr.match_re(final, _R2_NUMERIC)
               if len(final) else np.array([], dtype=bool))
     kinds = np.where(is_num, "num", "html")
     extracted, spans_out, n_spans, strip_ratio = _assemble(
-        k, rrow[fkeep2], final.to_numpy(), rs[fkeep2], re_[fkeep2], kinds,
+        k, rrow[fkeep2], astr.npy(final), rs[fkeep2], re_[fkeep2], kinds,
         conf_cls, raw_len, kline=rline[fkeep2])
     return extracted, spans_out, n_spans, strip_ratio, html_wins
 
@@ -734,7 +794,7 @@ def _json_spans(text: str):
     return spans
 
 
-def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
+def _json_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
                   forced=None):
     """Closed-form JSON outputs + the exact (json vs plain) E4 vote.
 
@@ -748,7 +808,7 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
     JSON still demotes to the plain fallback (detect_spans' declared-kind
     semantics exactly)."""
     k = len(desk)
-    texts = desk.to_numpy()
+    texts = astr.npy(desk)
     rrow, rs, re_, rnum, rline = [], [], [], [], []
     valid = np.zeros(k, dtype=bool)
     for ridx in range(k):
@@ -767,11 +827,10 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
     re_ = np.asarray(re_, dtype=np.int64)
     rnum = np.asarray(rnum, dtype=bool)
     rline = np.asarray(rline, dtype=np.int64)
-    seg = pd.Series([texts[r][s:e] for r, s, e in zip(rrow, rs, re_)],
-                    dtype=object)
+    seg = astr.arr([texts[r][s:e] for r, s, e in zip(rrow, rs, re_)])
 
     slen = (re_ - rs).astype(np.float64)
-    nbad = seg.str.count(_NON_TEXTY).to_numpy() if len(seg) else np.array([])
+    nbad = astr.count_re(seg, _R2_NON_TEXTY) if len(seg) else np.array([])
     with np.errstate(invalid="ignore", divide="ignore"):
         conf = np.where(slen > 0, (slen - nbad) / np.maximum(slen, 1), 0.0)
     conf = np.where(rnum, 0.95, conf)  # detect.parse_json's number confidence
@@ -782,9 +841,9 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
 
     # plain parser's competing count (no tags by predicate -> no penalty)
     lines, lrow, _ = _line_frame(desk)
-    seg_p = lines.str.strip()
-    slen_p = seg_p.str.len().to_numpy()
-    nbad_p = seg_p.str.count(_NON_TEXTY).to_numpy()
+    seg_p = astr.strip(lines)
+    slen_p = astr.length(seg_p)
+    nbad_p = astr.count_re(seg_p, _R2_NON_TEXTY)
     with np.errstate(invalid="ignore", divide="ignore"):
         conf_p = np.where(slen_p > 0,
                           (slen_p - nbad_p) / np.maximum(slen_p, 1), 0.0)
@@ -797,16 +856,16 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
 
     fkeep = keep & json_wins[rrow] if len(rrow) else keep
     sub_pre = np.flatnonzero(fkeep) if len(rrow) else np.array([], int)
-    kseg = seg[fkeep].reset_index(drop=True)
+    kseg = astr.take(seg, fkeep)
     # recognition: escape-free literals decode to themselves; spans carrying a
     # backslash decode via json.loads exactly like the scalar kernel (failures
     # fall through unchanged); whitespace-only values drop (F7)
-    esc = (kseg.str.contains("\\", regex=False).to_numpy()
+    esc = (astr.contains_lit(kseg, "\\")
            if len(kseg) else np.array([], dtype=bool))
     if esc.any():
         import json as _json
 
-        vals = kseg.to_numpy()
+        vals = astr.npy(kseg)
         for i in np.flatnonzero(esc):
             if rnum[sub_pre[i]]:
                 continue  # numeric spans never decode
@@ -814,19 +873,19 @@ def _json_outputs(desk: pd.Series, raw_len: np.ndarray, cfg: EngineConfig,
                 vals[i] = _json.loads('"' + vals[i] + '"')
             except ValueError:
                 pass
-        kseg = pd.Series(vals, dtype=object)
+        kseg = astr.arr(vals)
     final = _recognize_series(kseg, cfg, strip_ctrl=True)
-    nonblank = final.str.len().to_numpy() > 0 if len(final) \
+    nonblank = astr.length(final) > 0 if len(final) \
         else np.array([], dtype=bool)
-    final = final[nonblank].reset_index(drop=True)
+    final = astr.take(final, nonblank)
     sub = sub_pre[nonblank] if len(rrow) else np.array([], int)
     fb = nbad[sub] if len(rrow) else np.array([])  # dirty-superset pre-count
     conf_cls = _token_min_conf(final, fb)
-    is_num_text = (final.str.match(_NUMERIC).to_numpy()
+    is_num_text = (astr.match_re(final, _R2_NUMERIC)
                    if len(final) else np.array([], dtype=bool))
     kinds = np.where(rnum[sub], "num", np.where(is_num_text, "num", "json"))
     extracted, spans_out, n_spans, strip_ratio = _assemble(
-        k, rrow[sub], final.to_numpy(), rs[sub], re_[sub], kinds,
+        k, rrow[sub], astr.npy(final), rs[sub], re_[sub], kinds,
         conf_cls, raw_len, kline=rline[sub])
     return extracted, spans_out, n_spans, strip_ratio, json_wins
 
@@ -847,7 +906,8 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     conv = pdf["conv_id"].to_numpy()
     tidx = pdf["turn_idx"].to_numpy()
     raw = pdf["text"].fillna("").astype(str).reset_index(drop=True)
-    raw_len = raw.str.len().to_numpy()
+    a_raw = astr.arr(raw)
+    raw_len = astr.length(a_raw)
     # S1 payload-kind dispatch: an optional input column declares the payload
     # kind (json/html/markdown/plain), which then skips content sniffing and
     # the E4 vote entirely; '' = undeclared, unknown kinds sniff permissively
@@ -868,11 +928,29 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
               and cfg.iou_thr >= 0 and cfg.word_formation_mode == "line"
               and _line_closed_form_ok(cfg))
     if vec_ok:
+        # NFC normalize with an all-ASCII skip (ASCII is NFC-invariant) and a
+        # per-row quick check — pyarrow's utf8_normalize ignores its form
+        # option (see kernel/astr.py), so NFC itself stays on unicodedata,
+        # touching only the rows that actually need recomposition
+        ascii_rows = astr.is_ascii(a_raw)
+        if ascii_rows.all():
+            canon = a_raw
+        else:
+            vals = raw.to_numpy()
+            nvals = None
+            for i in np.flatnonzero(~ascii_rows):
+                s = vals[i]
+                if not unicodedata.is_normalized("NFC", s):
+                    if nvals is None:
+                        nvals = vals.copy()
+                    nvals[i] = unicodedata.normalize("NFC", s)
+            canon = a_raw if nvals is None else astr.arr(nvals)
         # one fused pass: \r\n? -> \n equals replace('\r\n')+replace('\r'),
-        # with one less full-corpus string copy (bandwidth is the 32-core limit)
-        canon = raw.str.normalize("NFC").str.replace(_CRLF, "\n", regex=True)
-        if cfg.max_chars:
-            canon = canon.str.slice(0, cfg.max_chars)
+        # skipped wholesale when no row carries a '\r' (no full-corpus copy)
+        if astr.contains_lit(canon, "\r").any():
+            canon = astr.replace_re(canon, _R2_CRLF, "\n")
+        if cfg.max_chars and astr.length(canon).max(initial=0) > cfg.max_chars:
+            canon = astr.slice_cp(canon, 0, cfg.max_chars)
         desk, is_blank_v, angle_v = _deskew_columns(canon)
         fast, md_fast, html_fast, json_fast, forced = _route_masks(
             desk, cfg, declared)
@@ -908,7 +986,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     jpos = np.flatnonzero(json_fast)
     if len(jpos):
         j_ext, j_spans, j_n, j_ratio, json_wins = _json_outputs(
-            desk.iloc[jpos].reset_index(drop=True), raw_len[jpos], cfg,
+            astr.take(desk, jpos), raw_len[jpos], cfg,
             forced=None if declared is None else forced[jpos])
         jwin = jpos[json_wins]
         _fill_vectorized(jwin, [j_ext[j] for j in np.flatnonzero(json_wins)],
@@ -921,7 +999,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     hpos = np.flatnonzero(html_fast)
     if len(hpos):
         h_ext, h_spans, h_n, h_ratio, html_wins = _html_outputs(
-            desk.iloc[hpos].reset_index(drop=True), raw_len[hpos], cfg,
+            astr.take(desk, hpos), raw_len[hpos], cfg,
             forced=None if declared is None else forced[hpos])
         hwin = hpos[html_wins]
         _fill_vectorized(hwin, [h_ext[j] for j in np.flatnonzero(html_wins)],
@@ -932,7 +1010,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     mpos = np.flatnonzero(md_fast)
     if len(mpos):
         m_ext, m_spans, m_n, m_ratio, plain_wins = _md_outputs(
-            desk.iloc[mpos].reset_index(drop=True), raw_len[mpos], cfg,
+            astr.take(desk, mpos), raw_len[mpos], cfg,
             forced=None if declared is None else forced[mpos])
         mwin = mpos[~plain_wins]
         _fill_vectorized(mwin, [m_ext[j] for j in np.flatnonzero(~plain_wins)],
@@ -945,7 +1023,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     fpos = np.flatnonzero(fast)
     if len(fpos):
         f_ext, f_spans, f_n, f_ratio = _fast_outputs(
-            desk.iloc[fpos].reset_index(drop=True), raw_len[fpos], cfg)
+            astr.take(desk, fpos), raw_len[fpos], cfg)
         _fill_vectorized(fpos, f_ext, f_spans, f_n, f_ratio, "plain")
 
     texts = raw.to_numpy()
@@ -958,7 +1036,7 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         return None
 
     if vec_ok:
-        dsk = desk.to_numpy()
+        dsk = astr.npy(desk)
 
         def _slow(i):  # reuse the vectorized (exact) canonicalize+deskew
             return _extract_prepared(dsk[i], bool(is_blank_v[i]),
