@@ -429,30 +429,49 @@ def _token_min_conf(collapsed: pd.Series, nbad: np.ndarray) -> np.ndarray:
     return conf_cls
 
 
-def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len, kline=None):
+def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len, kline=None,
+              flat=False):
     """Per-row span lists / extracted text in reading order -> output arrays.
 
     ``kline`` carries each span's line id: consecutive spans of one row on the
     SAME line join with ' ' (the stitch's within-line word merge), lines join
-    with newlines.  Omitted => every span is its own line (plain/markdown)."""
-    spans_out = [[] for _ in range(k)]
+    with newlines.  Omitted => every span is its own line (plain/markdown).
+
+    ``flat=True`` (the Arrow-boundary mode) skips the per-span dict
+    materialization: ``spans_out`` is then the flat column tuple
+    ``(krow, ks, ke, kinds, confs, ctext)`` the caller assembles into one
+    Arrow list<struct> column for the whole batch."""
     text_parts = [[] for _ in range(k)]
     prev_row = prev_line = None
-    for i in range(len(krow)):
-        r = krow[i]
-        t = ctext[i]
-        spans_out[r].append({
-            "start": int(ks[i]), "end": int(ke[i]), "kind": kinds[i],
-            "conf": float(confs[i]), "text": t,
-        })
-        if kline is not None and r == prev_row and kline[i] == prev_line:
-            text_parts[r][-1] += " " + t
-        else:
-            text_parts[r].append(t)
-        if kline is not None:
-            prev_row, prev_line = r, kline[i]
+    if flat:
+        spans_out = (krow, ks, ke, kinds, confs, ctext)
+        for i in range(len(krow)):
+            r = krow[i]
+            if kline is not None and r == prev_row and kline[i] == prev_line:
+                text_parts[r][-1] += " " + ctext[i]
+            else:
+                text_parts[r].append(ctext[i])
+            if kline is not None:
+                prev_row, prev_line = r, kline[i]
+        n_spans = (np.bincount(krow, minlength=k).astype(np.int64)
+                   if len(krow) else np.zeros(k, dtype=np.int64))
+    else:
+        spans_out = [[] for _ in range(k)]
+        for i in range(len(krow)):
+            r = krow[i]
+            t = ctext[i]
+            spans_out[r].append({
+                "start": int(ks[i]), "end": int(ke[i]), "kind": kinds[i],
+                "conf": float(confs[i]), "text": t,
+            })
+            if kline is not None and r == prev_row and kline[i] == prev_line:
+                text_parts[r][-1] += " " + t
+            else:
+                text_parts[r].append(t)
+            if kline is not None:
+                prev_row, prev_line = r, kline[i]
+        n_spans = np.array([len(s) for s in spans_out], dtype=np.int64)
     extracted = ["\n".join(p) for p in text_parts]
-    n_spans = np.array([len(s) for s in spans_out], dtype=np.int64)
     elen = np.array([len(t) for t in extracted], dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         strip_ratio = np.where(
@@ -476,7 +495,8 @@ def _recognize_series(seg, cfg: EngineConfig, strip_ctrl: bool = False):
     return astr.strip(astr.replace_re(a, _R2_WS_RUN, " "))
 
 
-def _fast_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig):
+def _fast_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
+                  flat=False):
     """Closed-form PLAIN outputs for fast rows (positional index 0..k-1).
 
     Returns (extracted, spans, n_spans, strip_ratio) as aligned arrays/lists.
@@ -508,7 +528,8 @@ def _fast_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig):
               if len(final) else np.array([], dtype=bool))
     kinds = np.where(is_num, "num", "text")
     return _assemble(k, krow, astr.npy(final), abs_s[keep][nonblank],
-                     abs_e[keep][nonblank], kinds, conf_cls, raw_len)
+                     abs_e[keep][nonblank], kinds, conf_cls, raw_len,
+                     flat=flat)
 
 
 # detect's own fence/lead patterns (the lead's capture group is irrelevant to
@@ -518,7 +539,7 @@ _MD_LEAD_STRIP = _MD_LEAD
 
 
 def _md_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
-                forced=None):
+                forced=None, flat=False):
     """Closed-form MARKDOWN outputs (detect.parse_markdown + recognition):
     fence lines toggle skipping (parity of fences before the line), leading
     heading/list markers are excluded from spans, recognition drops inline
@@ -589,7 +610,8 @@ def _md_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
     ks = abs_s[keep][nonblank]
     ke = abs_e[keep][nonblank]
     extracted, spans_out, n_spans, strip_ratio = _assemble(
-        k, krow, astr.npy(final), ks, ke, kinds, conf_cls, raw_len)
+        k, krow, astr.npy(final), ks, ke, kinds, conf_cls, raw_len,
+        flat=flat)
     return extracted, spans_out, n_spans, strip_ratio, plain_wins
 
 
@@ -644,7 +666,7 @@ def _html_runs(text: str):
 
 
 def _html_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
-                  forced=None):
+                  forced=None, flat=False):
     """Closed-form HTML outputs + the exact E4 vote.
 
     Returns (extracted, spans, n_spans, strip_ratio, html_wins): rows where the
@@ -750,7 +772,7 @@ def _html_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
     kinds = np.where(is_num, "num", "html")
     extracted, spans_out, n_spans, strip_ratio = _assemble(
         k, rrow[fkeep2], astr.npy(final), rs[fkeep2], re_[fkeep2], kinds,
-        conf_cls, raw_len, kline=rline[fkeep2])
+        conf_cls, raw_len, kline=rline[fkeep2], flat=flat)
     return extracted, spans_out, n_spans, strip_ratio, html_wins
 
 
@@ -795,7 +817,7 @@ def _json_spans(text: str):
 
 
 def _json_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
-                  forced=None):
+                  forced=None, flat=False):
     """Closed-form JSON outputs + the exact (json vs plain) E4 vote.
 
     Returns (extracted, spans, n_spans, strip_ratio, json_wins): rows that fail
@@ -886,7 +908,7 @@ def _json_outputs(desk, raw_len: np.ndarray, cfg: EngineConfig,
     kinds = np.where(rnum[sub], "num", np.where(is_num_text, "num", "json"))
     extracted, spans_out, n_spans, strip_ratio = _assemble(
         k, rrow[sub], astr.npy(final), rs[sub], re_[sub], kinds,
-        conf_cls, raw_len, kline=rline[sub])
+        conf_cls, raw_len, kline=rline[sub], flat=flat)
     return extracted, spans_out, n_spans, strip_ratio, json_wins
 
 
@@ -894,15 +916,88 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     """Batch kernel: one pandas frame of turns in, one frame of extractions out.
 
     Total function on the empty batch (F6).  Called once per Arrow batch from the Spark
-    layer.  Plain-format rows take the vectorized closed form (pandas .str /
+    layer.  Plain-format rows take the vectorized closed form (Arrow compute /
     numpy across the whole batch); every other row runs the per-turn oracle —
     outputs are byte-identical either way (golden + equivalence suites).
     """
+    if len(pdf) == 0:
+        return pd.DataFrame({c: [] for c in OUTPUT_COLUMNS},
+                            columns=OUTPUT_COLUMNS)
+    cols, spans = _extract_frame_impl(pdf, cfg, flat=False)
+    cols["spans"] = spans
+    out = pd.DataFrame(cols, columns=OUTPUT_COLUMNS)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out
+
+
+def extract_frame_arrow(batch, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Arrow-boundary batch kernel: one pa.RecordBatch in, one out (the
+    ``mapInArrow`` path).
+
+    Same computation as ``extract_frame`` — the two share every stage through
+    ``_extract_frame_impl`` — but the spans column is assembled DIRECTLY as an
+    Arrow list<struct> from the flat per-span arrays: no per-span Python
+    dicts, no pandas object column, and no from_pandas conversion of the
+    nested column inside Spark's serializer.  conv_id/turn_idx pass through
+    zero-copy from the input batch.  Value-equal to extract_frame row for row
+    (tests/test_extract_arrow.py)."""
+    import pyarrow as pa
+
+    have = set(batch.schema.names)
+    need = ["conv_id", "turn_idx", "text"] + (
+        ["payload_kind"] if "payload_kind" in have else [])
+    pdf = batch.select(need).to_pandas()
     n = len(pdf)
     if n == 0:
-        out = pd.DataFrame({c: [] for c in OUTPUT_COLUMNS}, columns=OUTPUT_COLUMNS)
-        return out
+        srows = np.empty(0, dtype=np.int64)
+        flat = (srows,) * 3 + (np.empty(0, dtype=object),
+                               np.empty(0, dtype=np.float64),
+                               np.empty(0, dtype=object))
+        cols = {"extracted_text": [], "n_spans": [], "strip_ratio": [],
+                "fmt": [], "is_blank": [], "angle": [], "page_skew": []}
+    else:
+        cols, flat = _extract_frame_impl(pdf, cfg, flat=True)
+    srows, ss, se, sk, sc, stxt = flat
+    counts = (np.bincount(srows, minlength=n) if n
+              else np.zeros(0, dtype=np.int64))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    struct = pa.StructArray.from_arrays(
+        [pa.array(ss, type=pa.int32()), pa.array(se, type=pa.int32()),
+         pa.array(sk, type=pa.string()), pa.array(sc, type=pa.float64()),
+         pa.array(stxt, type=pa.string())],
+        names=["start", "end", "kind", "conf", "text"])
+    spans = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), struct)
+    conv_a = batch.column("conv_id")
+    if conv_a.type != pa.string():
+        conv_a = conv_a.cast(pa.string())
+    tidx_a = batch.column("turn_idx")
+    if tidx_a.type != pa.int32():
+        tidx_a = tidx_a.cast(pa.int32())
+    arrs = [
+        conv_a, tidx_a,
+        pa.array(cols["extracted_text"], type=pa.string()),
+        spans,
+        pa.array(cols["n_spans"], type=pa.int32()),
+        pa.array(cols["strip_ratio"], type=pa.float64()),
+        pa.array(cols["fmt"], type=pa.string()),
+        pa.array(cols["is_blank"], type=pa.bool_()),
+        pa.array(cols["angle"], type=pa.float64()),
+        pa.array(cols["page_skew"], type=pa.float64()),
+    ]
+    return pa.RecordBatch.from_arrays(arrs, names=OUTPUT_COLUMNS)
 
+
+def _extract_frame_impl(pdf: pd.DataFrame, cfg: EngineConfig, flat: bool):
+    """Shared body of the two batch kernels (len(pdf) > 0).
+
+    Returns ``(cols, spans)``: ``cols`` the non-span output columns as
+    aligned arrays; ``spans`` either the per-row list-of-dicts object array
+    (flat=False, the pandas boundary) or the row-sorted flat span tuple
+    ``(rows, start, end, kind, conf, text)`` (flat=True, the Arrow
+    boundary)."""
+    n = len(pdf)
     conv = pdf["conv_id"].to_numpy()
     tidx = pdf["turn_idx"].to_numpy()
     raw = pdf["text"].fillna("").astype(str).reset_index(drop=True)
@@ -964,7 +1059,8 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         forced = np.zeros(n, dtype=bool)
 
     extracted = np.empty(n, dtype=object)
-    spans = np.empty(n, dtype=object)
+    spans = None if flat else np.empty(n, dtype=object)
+    flat_acc = []  # flat mode: (global_rows, start, end, kind, conf, text)
     n_spans = np.zeros(n, dtype=np.int64)
     strip_ratio = np.zeros(n, dtype=np.float64)
     fmt = np.empty(n, dtype=object)
@@ -974,8 +1070,9 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
 
     def _fill_vectorized(pos, ext, spn, nsp, ratio, fmt_name):
         extracted[pos] = ext
-        for j, p in enumerate(pos):
-            spans[p] = spn[j]
+        if spn is not None:
+            for j, p in enumerate(pos):
+                spans[p] = spn[j]
         n_spans[pos] = nsp
         strip_ratio[pos] = ratio
         fmt[pos] = fmt_name
@@ -987,11 +1084,15 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     if len(jpos):
         j_ext, j_spans, j_n, j_ratio, json_wins = _json_outputs(
             astr.take(desk, jpos), raw_len[jpos], cfg,
-            forced=None if declared is None else forced[jpos])
+            forced=None if declared is None else forced[jpos], flat=flat)
         jwin = jpos[json_wins]
+        if flat:  # flat spans already carry only vote-winner rows
+            flat_acc.append((jpos[j_spans[0]],) + tuple(j_spans[1:]))
+            spn = None
+        else:
+            spn = [j_spans[j] for j in np.flatnonzero(json_wins)]
         _fill_vectorized(jwin, [j_ext[j] for j in np.flatnonzero(json_wins)],
-                         [j_spans[j] for j in np.flatnonzero(json_wins)],
-                         j_n[json_wins], j_ratio[json_wins], "json")
+                         spn, j_n[json_wins], j_ratio[json_wins], "json")
         # invalid JSON / plain-win rows reduce exactly to the plain closed form
         json_fast[jpos[~json_wins]] = False
         fast[jpos[~json_wins]] = True
@@ -1000,22 +1101,31 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     if len(hpos):
         h_ext, h_spans, h_n, h_ratio, html_wins = _html_outputs(
             astr.take(desk, hpos), raw_len[hpos], cfg,
-            forced=None if declared is None else forced[hpos])
+            forced=None if declared is None else forced[hpos], flat=flat)
         hwin = hpos[html_wins]
+        if flat:
+            flat_acc.append((hpos[h_spans[0]],) + tuple(h_spans[1:]))
+            spn = None
+        else:
+            spn = [h_spans[j] for j in np.flatnonzero(html_wins)]
         _fill_vectorized(hwin, [h_ext[j] for j in np.flatnonzero(html_wins)],
-                         [h_spans[j] for j in np.flatnonzero(html_wins)],
-                         h_n[html_wins], h_ratio[html_wins], "html")
+                         spn, h_n[html_wins], h_ratio[html_wins], "html")
         html_fast[hpos[~html_wins]] = False  # vote lost: per-turn oracle path
 
     mpos = np.flatnonzero(md_fast)
     if len(mpos):
         m_ext, m_spans, m_n, m_ratio, plain_wins = _md_outputs(
             astr.take(desk, mpos), raw_len[mpos], cfg,
-            forced=None if declared is None else forced[mpos])
+            forced=None if declared is None else forced[mpos], flat=flat)
         mwin = mpos[~plain_wins]
+        if flat:
+            flat_acc.append((mpos[m_spans[0]],) + tuple(m_spans[1:]))
+            spn = None
+        else:
+            spn = [m_spans[j] for j in np.flatnonzero(~plain_wins)]
         _fill_vectorized(mwin, [m_ext[j] for j in np.flatnonzero(~plain_wins)],
-                         [m_spans[j] for j in np.flatnonzero(~plain_wins)],
-                         m_n[~plain_wins], m_ratio[~plain_wins], "markdown")
+                         spn, m_n[~plain_wins], m_ratio[~plain_wins],
+                         "markdown")
         # the E4 vote went to the plain parser on these rows: recompute them
         # through the plain closed form (exactly what detect_spans would keep)
         fast[mpos[plain_wins]] = True
@@ -1023,7 +1133,10 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
     fpos = np.flatnonzero(fast)
     if len(fpos):
         f_ext, f_spans, f_n, f_ratio = _fast_outputs(
-            astr.take(desk, fpos), raw_len[fpos], cfg)
+            astr.take(desk, fpos), raw_len[fpos], cfg, flat=flat)
+        if flat:
+            flat_acc.append((fpos[f_spans[0]],) + tuple(f_spans[1:]))
+            f_spans = None
         _fill_vectorized(fpos, f_ext, f_spans, f_n, f_ratio, "plain")
 
     texts = raw.to_numpy()
@@ -1046,10 +1159,20 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         def _slow(i):
             return extract_turn(texts[i], cfg, _kind(i))
 
+    sl = ([], [], [], [], [], []) if flat else None
     for i in np.flatnonzero(~fast):
         r = _slow(i)
         extracted[i] = r["extracted_text"]
-        spans[i] = r["spans"]
+        if flat:
+            for d in r["spans"]:
+                sl[0].append(i)
+                sl[1].append(d["start"])
+                sl[2].append(d["end"])
+                sl[3].append(d["kind"])
+                sl[4].append(d["conf"])
+                sl[5].append(d["text"])
+        else:
+            spans[i] = r["spans"]
         n_spans[i] = r["n_spans"]
         strip_ratio[i] = r["strip_ratio"]
         fmt[i] = r["fmt"]
@@ -1057,11 +1180,24 @@ def extract_frame(pdf: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.D
         angle[i] = r["angle"]
         page_skew[i] = r["page_skew"]
 
-    out = pd.DataFrame({
+    cols = {
         "conv_id": conv, "turn_idx": tidx, "extracted_text": extracted,
-        "spans": spans, "n_spans": n_spans, "strip_ratio": strip_ratio,
+        "n_spans": n_spans, "strip_ratio": strip_ratio,
         "fmt": fmt, "is_blank": is_blank, "angle": angle,
         "page_skew": page_skew,
-    }, columns=OUTPUT_COLUMNS)
-    out["turn_idx"] = out["turn_idx"].astype("int32")
-    return out
+    }
+    if not flat:
+        return cols, spans
+    if sl[0]:
+        flat_acc.append(tuple(np.asarray(c) for c in sl))
+    if flat_acc:
+        g = [np.concatenate([np.asarray(f[j], dtype=object) if j in (3, 5)
+                             else np.asarray(f[j]) for f in flat_acc])
+             for j in range(6)]
+        o = np.argsort(g[0].astype(np.int64), kind="stable")
+        span_flat = tuple(c[o] for c in g)
+    else:
+        e64 = np.empty(0, dtype=np.int64)
+        span_flat = (e64, e64, e64, np.empty(0, dtype=object),
+                     np.empty(0, dtype=np.float64), np.empty(0, dtype=object))
+    return cols, span_flat

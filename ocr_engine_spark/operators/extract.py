@@ -2,11 +2,13 @@
 
 Design (SURVEY.md §4.2, BASELINE.json north_rule):
 
-- The whole per-turn pipeline is ONE fused Arrow-batched stage (``mapInPandas``): scan ->
-  repartition -> python eval -> sink.  This mirrors the reference's single batched model
-  call per page (/root/reference/src/ocr.py:161-163) — no per-row Python crosses the
-  JVM/Python boundary; Arrow batch size is bounded by
-  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- The whole per-turn pipeline is ONE fused Arrow-batched stage (``mapInArrow``, with a
+  value-identical ``mapInPandas`` spelling retained): scan -> repartition -> python eval
+  -> sink.  This mirrors the reference's single batched model call per page
+  (/root/reference/src/ocr.py:161-163) — no per-row Python crosses the JVM/Python
+  boundary, and on the Arrow path batches stay RecordBatches in both directions (the
+  spans list<struct> column is built from flat arrays, never per-span dicts); Arrow
+  batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 - **Salting for skewed long conversations**: partition key = (conv_id, turn_idx // salt
   block).  Extraction is stateless per turn, so a whale conversation (Zipfian corpus) can
   be split across executors without changing results.  AQE alone cannot split one fused
@@ -67,6 +69,29 @@ def _extract_batches(cfg: EngineConfig):
         for pdf in batches:
             out = extract_frame(pdf, cfg)
             out["n_spans"] = out["n_spans"].astype("int32")
+            yield out
+
+    return fn
+
+
+def _extract_batches_arrow(cfg: EngineConfig, passthrough: tuple[str, ...] = ()):
+    """Arrow-boundary executor closure (``mapInArrow``): the kernel's flat-span
+    variant builds the spans list<struct> column directly — no per-span dicts,
+    no pandas object column, no from_pandas in the serializer.  Passthrough
+    columns are appended ZERO-COPY from the input batch (the kernel emits one
+    output row per input row, in order)."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from ocr_engine_spark.kernel.pipeline import extract_frame_arrow
+
+        for rb in batches:
+            out = extract_frame_arrow(rb, cfg)
+            if passthrough:
+                arrs = list(out.columns) + [rb.column(c) for c in passthrough]
+                out = pa.RecordBatch.from_arrays(
+                    arrs, names=list(out.schema.names) + list(passthrough))
             yield out
 
     return fn
@@ -211,9 +236,18 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                         salt_block: int = DEFAULT_SALT_BLOCK,
                         passthrough: tuple[str, ...] = (),
                         dispatch_tool_json: bool = False,
-                        tool_kind_map: dict[str, str] | None = None
+                        tool_kind_map: dict[str, str] | None = None,
+                        arrow_boundary: bool = True
                         ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted table.
+
+    ``arrow_boundary=True`` (default) runs the kernel through ``mapInArrow``:
+    batches stay Arrow RecordBatches across the Python boundary in BOTH
+    directions and the spans column is built directly as list<struct> from
+    flat arrays (kernel/pipeline.extract_frame_arrow) — no per-span dicts, no
+    pandas nested-object conversion in the serializer.  ``False`` keeps the
+    original ``mapInPandas`` spelling; the two are value-identical
+    (tests/test_extract_arrow.py pins frame- and Spark-level equality).
 
     ``dispatch_tool_json=True`` enables the S1 payload-kind dispatch
     (/root/reference/src/utils.py:179-188 analogue): turns whose ``tool``
@@ -268,10 +302,17 @@ def extract_transcripts(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     pruned = declare_payload_kind(df, cols, dispatch_tool_json, tool_kind_map)
     if num_partitions:
         pruned = pruned.repartition(num_partitions, salted_key(salt_block))
+    if passthrough:
+        schema = StructType(
+            list(EXTRACTED_SCHEMA.fields)
+            + [pruned.schema[c] for c in passthrough])
+    else:
+        schema = EXTRACTED_SCHEMA
+    if arrow_boundary:
+        return pruned.mapInArrow(
+            _extract_batches_arrow(cfg, tuple(passthrough)), schema=schema)
     if not passthrough:
         return pruned.mapInPandas(_extract_batches(cfg), schema=EXTRACTED_SCHEMA)
-    schema = StructType(
-        list(EXTRACTED_SCHEMA.fields) + [pruned.schema[c] for c in passthrough])
     fn = passthrough_wrapper(_extract_batches(cfg), list(passthrough))
     return pruned.mapInPandas(fn, schema=schema)
 

@@ -66,7 +66,8 @@ def test_plan_is_scan_exchange_pythoneval(spark, transcripts_df, tmp_path):
     df = spark.read.parquet(path)
     plan = extract_transcripts(df, num_partitions=4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # exactly the repartition-before-UDF shuffle
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert ("MapInArrow" in plan or "MapInPandas" in plan
+            or "ArrowEvalPython" in plan)
     scan_line = [l for l in plan.split("\n") if "Scan parquet" in l or "ReadSchema" in l]
     txt = "\n".join(scan_line)
     assert "role" not in txt and "ts" not in txt  # column pruning reached the scan
