@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from ocr_engine_spark.operators.extract import (
-    DEFAULT_SALT_BLOCK, _extract_batches, declare_payload_kind,
-    EXTRACTED_SCHEMA, passthrough_wrapper,
+    DEFAULT_SALT_BLOCK, _extract_batches_arrow, declare_payload_kind,
+    EXTRACTED_SCHEMA,
 )
 from ocr_engine_spark.sources.io import overwrite_partitions
 
@@ -195,9 +195,8 @@ def _run_wave(spark: SparkSession, pending: DataFrame, run_id: str,
 
         extracted = (
             pending.repartition(n_partitions, "p")
-            .mapInPandas(
-                passthrough_wrapper(_extract_batches(cfg),
-                                    [*passthrough, "p"]),
+            .mapInArrow(
+                _extract_batches_arrow(cfg, (*passthrough, "p")),
                 schema=out_schema)
         )
         # one pass over the input: the kernel output is persisted, the data write
