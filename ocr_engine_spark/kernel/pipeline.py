@@ -443,34 +443,28 @@ def _assemble(k: int, krow, ctext, ks, ke, kinds, confs, raw_len, kline=None,
     Arrow list<struct> column for the whole batch."""
     text_parts = [[] for _ in range(k)]
     prev_row = prev_line = None
-    if flat:
-        spans_out = (krow, ks, ke, kinds, confs, ctext)
-        for i in range(len(krow)):
-            r = krow[i]
-            if kline is not None and r == prev_row and kline[i] == prev_line:
-                text_parts[r][-1] += " " + ctext[i]
-            else:
-                text_parts[r].append(ctext[i])
-            if kline is not None:
-                prev_row, prev_line = r, kline[i]
-        n_spans = (np.bincount(krow, minlength=k).astype(np.int64)
-                   if len(krow) else np.zeros(k, dtype=np.int64))
-    else:
-        spans_out = [[] for _ in range(k)]
-        for i in range(len(krow)):
-            r = krow[i]
-            t = ctext[i]
-            spans_out[r].append({
+    dicts = None if flat else [[] for _ in range(k)]
+    for i in range(len(krow)):
+        r = krow[i]
+        t = ctext[i]
+        if dicts is not None:
+            dicts[r].append({
                 "start": int(ks[i]), "end": int(ke[i]), "kind": kinds[i],
                 "conf": float(confs[i]), "text": t,
             })
-            if kline is not None and r == prev_row and kline[i] == prev_line:
-                text_parts[r][-1] += " " + t
-            else:
-                text_parts[r].append(t)
-            if kline is not None:
-                prev_row, prev_line = r, kline[i]
-        n_spans = np.array([len(s) for s in spans_out], dtype=np.int64)
+        if kline is not None and r == prev_row and kline[i] == prev_line:
+            text_parts[r][-1] += " " + t
+        else:
+            text_parts[r].append(t)
+        if kline is not None:
+            prev_row, prev_line = r, kline[i]
+    if flat:
+        spans_out = (krow, ks, ke, kinds, confs, ctext)
+        n_spans = (np.bincount(krow, minlength=k).astype(np.int64)
+                   if len(krow) else np.zeros(k, dtype=np.int64))
+    else:
+        spans_out = dicts
+        n_spans = np.array([len(s) for s in dicts], dtype=np.int64)
     extracted = ["\n".join(p) for p in text_parts]
     elen = np.array([len(t) for t in extracted], dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -944,10 +938,10 @@ def extract_frame_arrow(batch, cfg: EngineConfig = DEFAULT_CONFIG):
     import pyarrow as pa
 
     have = set(batch.schema.names)
-    need = ["conv_id", "turn_idx", "text"] + (
+    need = ["conv_id", "turn_idx"] + (
         ["payload_kind"] if "payload_kind" in have else [])
     pdf = batch.select(need).to_pandas()
-    n = len(pdf)
+    n = batch.num_rows
     if n == 0:
         srows = np.empty(0, dtype=np.int64)
         flat = (srows,) * 3 + (np.empty(0, dtype=object),
@@ -956,7 +950,12 @@ def extract_frame_arrow(batch, cfg: EngineConfig = DEFAULT_CONFIG):
         cols = {"extracted_text": [], "n_spans": [], "strip_ratio": [],
                 "fmt": [], "is_blank": [], "angle": [], "page_skew": []}
     else:
-        cols, flat = _extract_frame_impl(pdf, cfg, flat=True)
+        # the input column IS the kernel's Arrow array: null-fill is the only
+        # copy; no Arrow -> Python str -> Arrow round-trip of the corpus
+        a_text = batch.column("text")
+        if a_text.null_count:
+            a_text = astr.fill_null(a_text)
+        cols, flat = _extract_frame_impl(pdf, cfg, flat=True, a_raw=a_text)
     srows, ss, se, sk, sc, stxt = flat
     counts = (np.bincount(srows, minlength=n) if n
               else np.zeros(0, dtype=np.int64))
@@ -989,19 +988,41 @@ def extract_frame_arrow(batch, cfg: EngineConfig = DEFAULT_CONFIG):
     return pa.RecordBatch.from_arrays(arrs, names=OUTPUT_COLUMNS)
 
 
-def _extract_frame_impl(pdf: pd.DataFrame, cfg: EngineConfig, flat: bool):
+def _extract_frame_impl(pdf: pd.DataFrame, cfg: EngineConfig, flat: bool,
+                        a_raw=None):
     """Shared body of the two batch kernels (len(pdf) > 0).
 
     Returns ``(cols, spans)``: ``cols`` the non-span output columns as
     aligned arrays; ``spans`` either the per-row list-of-dicts object array
     (flat=False, the pandas boundary) or the row-sorted flat span tuple
     ``(rows, start, end, kind, conf, text)`` (flat=True, the Arrow
-    boundary)."""
+    boundary).  ``a_raw`` lets the Arrow boundary hand in the text column
+    as an already-null-filled pa.Array (zero-copy; ``pdf`` then need not
+    carry text at all)."""
     n = len(pdf)
     conv = pdf["conv_id"].to_numpy()
     tidx = pdf["turn_idx"].to_numpy()
-    raw = pdf["text"].fillna("").astype(str).reset_index(drop=True)
-    a_raw = astr.arr(raw)
+    raw = None
+    surr = None  # rows whose text cannot live in an Arrow utf8 array
+    if a_raw is None:
+        raw = pdf["text"].fillna("").astype(str).reset_index(drop=True)
+        try:
+            a_raw = astr.arr(raw)
+        except UnicodeEncodeError:
+            # lone surrogates (PEP 383 surrogateescape decodes upstream)
+            # are valid Python str but invalid UTF-8: blank those rows in
+            # the Arrow array and pin them to the per-turn oracle, which
+            # handles them exactly like the pre-Arrow pandas kernel did
+            vals = raw.to_numpy()
+            surr = np.zeros(n, dtype=bool)
+            clean = vals.copy()
+            for i, s in enumerate(vals):
+                try:
+                    s.encode("utf-8")
+                except UnicodeEncodeError:
+                    surr[i] = True
+                    clean[i] = ""
+            a_raw = astr.arr(clean)
     raw_len = astr.length(a_raw)
     # S1 payload-kind dispatch: an optional input column declares the payload
     # kind (json/html/markdown/plain), which then skips content sniffing and
@@ -1031,7 +1052,7 @@ def _extract_frame_impl(pdf: pd.DataFrame, cfg: EngineConfig, flat: bool):
         if ascii_rows.all():
             canon = a_raw
         else:
-            vals = raw.to_numpy()
+            vals = astr.npy(a_raw)  # surrogate rows already blanked
             nvals = None
             for i in np.flatnonzero(~ascii_rows):
                 s = vals[i]
@@ -1049,6 +1070,14 @@ def _extract_frame_impl(pdf: pd.DataFrame, cfg: EngineConfig, flat: bool):
         desk, is_blank_v, angle_v = _deskew_columns(canon)
         fast, md_fast, html_fast, json_fast, forced = _route_masks(
             desk, cfg, declared)
+        if surr is not None:
+            # blanked stand-ins must NOT take the (empty) plain closed form
+            ok = ~surr
+            fast &= ok
+            md_fast &= ok
+            html_fast &= ok
+            json_fast &= ok
+            forced &= ok
     else:  # nonzero margins: closed form not proven — everything per-turn
         # four independent arrays: the vec_ok branch mutates these masks in
         # place, so sharing one zeros array here would couple them
@@ -1139,7 +1168,6 @@ def _extract_frame_impl(pdf: pd.DataFrame, cfg: EngineConfig, flat: bool):
             f_spans = None
         _fill_vectorized(fpos, f_ext, f_spans, f_n, f_ratio, "plain")
 
-    texts = raw.to_numpy()
     fast = fast | md_fast | html_fast | json_fast
 
     def _kind(i):  # declared payload kind rides into the per-turn dispatch
@@ -1152,10 +1180,14 @@ def _extract_frame_impl(pdf: pd.DataFrame, cfg: EngineConfig, flat: bool):
         dsk = astr.npy(desk)
 
         def _slow(i):  # reuse the vectorized (exact) canonicalize+deskew
+            if surr is not None and surr[i]:
+                return extract_turn(raw.iat[i], cfg, _kind(i))
             return _extract_prepared(dsk[i], bool(is_blank_v[i]),
                                      float(angle_v[i]), int(raw_len[i]), cfg,
                                      _kind(i))
     else:
+        texts = raw.to_numpy() if raw is not None else astr.npy(a_raw)
+
         def _slow(i):
             return extract_turn(texts[i], cfg, _kind(i))
 

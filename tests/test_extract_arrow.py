@@ -73,6 +73,27 @@ def test_frame_equivalence_declared_kind():
     _assert_batch_equal(pdf, DEFAULT_CONFIG)
 
 
+def test_lone_surrogates_take_the_oracle_path():
+    # PEP 383 surrogateescape decodes produce valid Python str that is
+    # INVALID UTF-8: the pandas kernel must process such rows (per-turn
+    # oracle), not crash building the Arrow array, and the clean rows in the
+    # same batch must keep their closed-form outputs
+    from ocr_engine_spark.kernel.pipeline import extract_turn
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c0", "c1", "c2", "c3"],
+        "turn_idx": np.arange(4, dtype="int32"),
+        "text": ["clean one\nline two", "bad \udce9 surrogate\nmore",
+                 "# md stays fast", "\udc80\udc81"]})
+    out = extract_frame(pdf)
+    for i in range(4):
+        o = extract_turn(pdf["text"].iloc[i])
+        assert out.iloc[i]["extracted_text"] == o["extracted_text"], i
+        assert out.iloc[i]["spans"] == o["spans"], i
+        assert out.iloc[i]["fmt"] == o["fmt"], i
+    assert out.iloc[1]["extracted_text"]  # surrogate row still extracted
+
+
 def test_empty_batch():
     pdf = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
                         "turn_idx": pd.Series([], dtype="int32"),
