@@ -115,7 +115,7 @@ def test_extraction_exchange_is_salted(spark):
     p = plan(extract_transcripts(df, num_partitions=8))
     # one round-robin-free hash exchange on the salted key, then the Arrow stage
     assert "xxhash64" in p and ("hashpartitioning" in p or "Exchange" in p)
-    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+    assert "MapInArrow" in p or "MapInPandas" in p
 
 
 def test_extraction_default_is_shuffle_free(spark, tmp_path):
