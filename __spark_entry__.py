@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": dedup.q_paragraph_dedup,
         "boilerplate_strip": dedup.q_boilerplate_strip,
         "conv_neardup": conversations.q_conv_neardup,
+        "conv_neardup_canonical": conversations.q_conv_neardup_canonical,
         "kind_dispatch_extract": documents.q_kind_dispatch_extract,
         "pipeline_e2e": conversations.q_pipeline_e2e,
         # — never driver-checked before r04 / changed in r04 —
@@ -104,18 +105,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": similarity.q_ivf_assign,
         "ivf_topk": similarity.q_ivf_topk,
         "ivf_topk_multiprobe": similarity.q_ivf_topk_multiprobe,
-        "multi_source_union": documents.q_multi_source_union,
         # — tail: long-stable rows past the driver's 50-query window.
         #   Membership is MECHANICAL now: tools/check_window.py (run by
         #   tests/test_contract_tail.py) fails if any query whose
         #   implementing module (transitively) or oracle text changed since
         #   the last round boundary parks past position 50.  This round the
-        #   kernel/dispatch/spread changes dirtied 51 of the 67 queries — one
+        #   kernel/dispatch/spread changes dirtied 52 of the 68 queries — two
         #   more than the window holds — so the tail is the 14 clean rows
         #   (13 relational + multimodal, all driver-green r02-r04 unchanged)
-        #   plus embedding_topk, the single tier-2 overflow the saturated
-        #   window permits (ripple-dirty via spread(); own source unchanged;
-        #   oracle-checked per pytest run by this very suite) —
+        #   plus the tier-2 overflows the saturated window permits
+        #   (embedding_topk and multi_source_union: ripple-dirty only, own
+        #   sources unchanged; oracle-checked per pytest run by this very
+        #   suite) —
+        "multi_source_union": documents.q_multi_source_union,
         "embedding_topk": similarity.q_embedding_topk,
         "binary_features": multimodal.q_binary_features,
         "media_frames": multimodal.q_media_frames,
@@ -470,6 +472,60 @@ def oracle_sql() -> dict[str, str]:
               FROM asmn),
             {_minhash_ctes("convdocs")}
             SELECT doc_id_a, doc_id_b, jaccard FROM mh_pairs
+        """,
+        # conversation-level near-dedup END PRODUCT: the same plant + assembly
+        # + MinHash-LSH chain as conv_neardup, then connected components over
+        # the pair graph (recursive min-label reach, the dedup_clusters
+        # oracle pattern) and an anti-join dropping every non-minimum cluster
+        # member — each truncated re-run loses to its base conversation.
+        "conv_neardup_canonical": f"""
+            WITH RECURSIVE t AS (
+              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                     text AS extracted_text
+              FROM documents),
+            tn AS (
+              SELECT 'ndup_' || string_split(conv_id, '_')[2] AS conv_id,
+                     turn_idx, role, extracted_text
+              FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+                    FROM t
+                    WHERE CAST(string_split(conv_id, '_')[2] AS INTEGER)
+                          % {conversations.CONV_NEAR_MOD}
+                          = {conversations.CONV_NEAR_RESIDUE})
+              WHERE turn_idx < mx),
+            asmn AS (
+              SELECT conv_id,
+                     string_agg(role || ': ' || extracted_text,
+                          chr(10) ORDER BY turn_idx) AS doc_text
+              FROM (SELECT * FROM t UNION ALL SELECT * FROM tn)
+              GROUP BY conv_id),
+            convdocs AS MATERIALIZED (
+              SELECT CASE WHEN conv_id LIKE 'ndup_%'
+                          THEN CAST(string_split(conv_id, '_')[2] AS BIGINT)
+                               + {conversations.CONV_NEAR_OFFSET}
+                          ELSE CAST(string_split(conv_id, '_')[2] AS BIGINT)
+                     END AS doc_id,
+                     conv_id,
+                     doc_text AS text
+              FROM asmn),
+            {_minhash_ctes("convdocs")},
+            -- MATERIALIZED on convdocs/e: DuckDB inlines CTEs, so without it
+            -- every recursive-step reference re-executes the whole assembly +
+            -- MinHash chain (sf0.1 replay ran >570s; materialized ~190s)
+            e AS MATERIALIZED (
+                  SELECT doc_id_a AS s, doc_id_b AS tt FROM mh_pairs
+                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
+            reach(v, l) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.tt, r.l FROM reach r JOIN e ON e.s = r.v),
+            dropped AS (
+              SELECT v AS doc_id FROM reach GROUP BY v
+              HAVING CAST(min(l) AS BIGINT) != v)
+            SELECT doc_id, conv_id, md5(text) AS doc_md5 FROM convdocs
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         # end-to-end composition: dispatch extraction -> 1200-char budget
         # truncation -> assembly -> conversation dedup (rank-1 survivor per

@@ -206,28 +206,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", F.concat(F.lit("conv_"), F.col("doc_id").cast("string")))
 
 
-def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy dedup at CONVERSATION granularity: MinHash-LSH near-dup pairs
-    over assembled training documents — the twin exact dedup cannot catch
-    (near-identical re-runs of the same agent session).
-
-    The corpus has no organic near-duplicate conversations, so (the
-    q_conv_dedup plant pattern, at the transcript level) every conversation
-    with suffix N % CONV_NEAR_MOD == CONV_NEAR_RESIDUE reappears under
-    'ndup_<N>' with its LAST turn dropped — a truncated re-run.  Plants ride
-    ONE kernel pass and ONE assembly exchange with the base corpus; the
-    assembled docs then run the md5-family banded LSH (same parameters as
-    q_minhash_lsh_pairs so the DuckDB oracle replays every stage), yielding
-    one (N, N + CONV_NEAR_OFFSET) pair per plant with the true Jaccard of the
-    shared shingles.  Composition stake: assembly (A1) -> LSH (the dedup
-    suite) chained across granularities, value-checked end-to-end.
-
-    Scale shape: same as the document-level pipeline — banded bucket join,
-    never all-pairs; one extra exchange for the assembly upstream.
-    """
+def _neardup_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared subtree of the conversation near-dup queries: the transcript
+    corpus plus the truncated-re-run plants ('ndup_<N>' = conversation
+    N % CONV_NEAR_MOD == CONV_NEAR_RESIDUE minus its LAST turn), run through
+    ONE kernel pass and ONE assembly exchange, keyed for the dedup suite —
+    (doc_id, conv_id, text) with plant ids offset by CONV_NEAR_OFFSET."""
     from pyspark.sql.window import Window
 
-    from ocr_engine_spark.operators.dedup import minhash_lsh_pairs
     from ocr_engine_spark.operators.documents import tool_transcripts
     from ocr_engine_spark.operators.extract import extract_transcripts
     from ocr_engine_spark.operators.relational import load
@@ -249,12 +235,76 @@ def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asm = assemble_conversations(extracted)
     sfx = F.split(F.col("conv_id"), "_").getItem(1).cast("bigint")
-    docs = asm.select(
+    return asm.select(
         F.when(F.col("conv_id").startswith("ndup_"),
                sfx + CONV_NEAR_OFFSET).otherwise(sfx).alias("doc_id"),
+        "conv_id",
         F.col("doc_text").alias("text"))
+
+
+def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup at CONVERSATION granularity: MinHash-LSH near-dup pairs
+    over assembled training documents — the twin exact dedup cannot catch
+    (near-identical re-runs of the same agent session).
+
+    The corpus has no organic near-duplicate conversations, so (the
+    q_conv_dedup plant pattern, at the transcript level) every conversation
+    with suffix N % CONV_NEAR_MOD == CONV_NEAR_RESIDUE reappears under
+    'ndup_<N>' with its LAST turn dropped — a truncated re-run.  Plants ride
+    ONE kernel pass and ONE assembly exchange with the base corpus; the
+    assembled docs then run the md5-family banded LSH (same parameters as
+    q_minhash_lsh_pairs so the DuckDB oracle replays every stage), yielding
+    one (N, N + CONV_NEAR_OFFSET) pair per plant with the true Jaccard of the
+    shared shingles.  Composition stake: assembly (A1) -> LSH (the dedup
+    suite) chained across granularities, value-checked end-to-end.
+
+    Scale shape: same as the document-level pipeline — banded bucket join,
+    never all-pairs; one extra exchange for the assembly upstream.
+    """
+    from ocr_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _neardup_assembled(spark, sf_dir).select("doc_id", "text")
     return minhash_lsh_pairs(docs, num_hashes=16, bands=8, k=3,
                              jaccard_threshold=0.5, family="md5")
+
+
+def q_conv_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT of conversation-level near-dedup: the assembled
+    conversation corpus with near-duplicate re-runs dropped — keep each
+    near-dup cluster's minimum doc_id (the base conversation; plants sit at
+    suffix + CONV_NEAR_OFFSET, so the un-truncated original always wins).
+
+    Composition: one kernel pass + one assembly exchange (the shared
+    ``_neardup_assembled`` subtree, materialized ONCE — a real pipeline
+    persists the assembled corpus before dedup consumes it twice; here
+    ``localCheckpoint`` stands in for that table) -> banded MinHash-LSH pairs
+    -> iterative min-label connected components (``duplicate_clusters``) ->
+    one anti-join against the non-canonical members.  Emits
+    (doc_id, conv_id, doc_md5) per survivor so content identity — not just
+    survivor count — is value-checked.  This is ``q_dedup_canonical`` lifted
+    from documents to conversations, closing the granularity x fuzziness
+    matrix's last end-product cell.
+
+    Scale shape: banded bucket join (never all-pairs), components over the
+    sparse LSH edge set only, broadcast-size drop set at real dup rates; the
+    assembled-corpus materialization is the same checkpoint a production run
+    writes anyway (the pairs-artifact pattern, operators/dedup.py).
+    """
+    from ocr_engine_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_pairs,
+    )
+
+    docs = _neardup_assembled(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(docs.select("doc_id", "text"), num_hashes=16,
+                              bands=8, k=3, jaccard_threshold=0.5,
+                              family="md5")
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.where(
+        F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "conv_id", F.md5("text").alias("doc_md5"))
+    )
 
 
 def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

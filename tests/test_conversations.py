@@ -63,6 +63,31 @@ def test_truncate_to_budget_prefix_semantics(spark):
     assert gone.where("conv_id='c1'").count() == 0
 
 
+def test_conv_neardup_canonical_drop_invariants(spark):
+    """Only PLANTS can ever be dropped (cluster canonical = min doc_id, and
+    every plant id sits at base + CONV_NEAR_OFFSET, above every base id), and
+    the survivor set is exactly all-docs minus the dropped plants."""
+    from ocr_engine_spark.operators.conversations import (
+        CONV_NEAR_OFFSET, _neardup_assembled, q_conv_neardup,
+        q_conv_neardup_canonical,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    surv = {r["doc_id"] for r in q_conv_neardup_canonical(spark, sf_dir)
+            .select("doc_id").collect()}
+    alldocs = {r["doc_id"] for r in _neardup_assembled(spark, sf_dir)
+               .select("doc_id").collect()}
+    dropped = alldocs - surv
+    assert surv <= alldocs
+    assert all(d >= CONV_NEAR_OFFSET for d in dropped)
+    # the dropped set is exactly the plants that LSH paired with their base
+    paired_plants = {r["doc_id_b"] for r in q_conv_neardup(spark, sf_dir)
+                     .select("doc_id_b").collect()
+                     if r["doc_id_b"] >= CONV_NEAR_OFFSET}
+    assert dropped == paired_plants
+    assert len(dropped) > 0  # non-vacuous: plants exist and pair at sf0.001
+
+
 def test_assembly_deterministic_under_repartition(spark):
     df = spark.createDataFrame(
         [(f"c{i % 7}", t, f"t{t}", "user", None, _ts(t))
