@@ -1044,7 +1044,10 @@ def oracle_sql() -> dict[str, str]:
         # computes the identical fixpoint by iterative min-label propagation)
         "dedup_clusters": f"""
             WITH RECURSIVE {_MINHASH_CTES},
-            e AS (SELECT doc_id_a AS s, doc_id_b AS t FROM mh_pairs
+            -- MATERIALIZED: DuckDB inlines CTEs, so the recursive reach step
+            -- would re-execute the whole MinHash chain per iteration otherwise
+            e AS MATERIALIZED (
+                  SELECT doc_id_a AS s, doc_id_b AS t FROM mh_pairs
                   UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
             reach(v, l) AS (
               SELECT s, s FROM e
@@ -1191,7 +1194,10 @@ def oracle_sql() -> dict[str, str]:
         # doc_id, over the SAME MinHash-LSH component pipeline as dedup_clusters
         "dedup_canonical": f"""
             WITH RECURSIVE {_MINHASH_CTES},
-            e AS (SELECT doc_id_a AS s, doc_id_b AS t FROM mh_pairs
+            -- MATERIALIZED: DuckDB inlines CTEs, so the recursive reach step
+            -- would re-execute the whole MinHash chain per iteration otherwise
+            e AS MATERIALIZED (
+                  SELECT doc_id_a AS s, doc_id_b AS t FROM mh_pairs
                   UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
             reach(v, l) AS (
               SELECT s, s FROM e
