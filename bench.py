@@ -96,6 +96,7 @@ HEADLINE = [
     "source_mix",
     "conv_assemble_capped",
     "conv_neardup",
+    "conv_neardup_canonical",
     "pipeline_e2e",
 ]
 
