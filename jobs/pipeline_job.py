@@ -7,6 +7,11 @@ the ``pipeline_e2e`` contract row), over a transcript table:
     -> truncate_to_budget       (context cap in chars, prefix-only)
     -> assemble_conversations   (one training document per conversation)
     -> dedup_conversations      (one survivor per exact-duplicate family)
+    -> [--near-dedup]           (MinHash-LSH near-dup clusters over assembled
+                                 documents; keep each cluster's min conv_id —
+                                 catches truncated/perturbed re-runs exact
+                                 dedup cannot; the conv_neardup_canonical
+                                 contract row, run as a pipeline stage)
     -> pack_sequences           (greedy token packing into training sequences)
 
 Cluster launch (the reference CLI lifecycle, /root/reference/run.py:24-45,
@@ -51,6 +56,7 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
                  dispatch_tool_json: bool = False,
                  checkpoint_extraction: bool = False, n_buckets: int = 32,
                  salt_block: int = 64, wave_buckets: int | None = None,
+                 near_dedup: bool = False, near_threshold: float = 0.5,
                  cfg=None) -> dict:
     """The composable core (the CLI below is a thin wrapper).  Returns a
     summary dict with per-stage counts.
@@ -100,6 +106,31 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
     try:
         n_convs = asm.count()
         surv = dedup_conversations(asm)
+        n_exact = None
+        if near_dedup:
+            # Near-duplicate conversations (truncated/perturbed re-runs of
+            # the same session) survive exact dedup; drop every LSH cluster
+            # member except the minimum conv_id (string order — any total
+            # order works; min is deterministic).  Same banded-bucket shape
+            # as the conv_neardup_canonical contract row: candidate pairs
+            # come from band buckets, never an all-pairs join, and the
+            # cluster iteration runs over the sparse verified-pair edge set
+            # only, so the stage stays sub-linear in corpus size at real
+            # duplicate rates.  Both LSH passes re-read the persisted `asm`.
+            from ocr_engine_spark.operators.dedup import (
+                duplicate_clusters, minhash_lsh_pairs,
+            )
+
+            n_exact = surv.count()
+            pairs = minhash_lsh_pairs(
+                surv.select(F.col("conv_id").alias("doc_id"),
+                            F.col("doc_text").alias("text")),
+                num_hashes=16, bands=8, k=3,
+                jaccard_threshold=near_threshold)
+            drop = (duplicate_clusters(pairs)
+                    .where(F.col("cluster_id") != F.col("doc_id"))
+                    .select(F.col("doc_id").alias("conv_id")))
+            surv = surv.join(drop, "conv_id", "left_anti")
         # packing carries conv_id + doc_text THROUGH the grouped map (no
         # numeric surrogate key, no join-back): conv_id is unique, so the
         # per-shard sort is a total order and the output is deterministic
@@ -145,11 +176,15 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
                 "run_id": run_id, "extraction": ext_summary,
                 "conversations": n_convs,
                 "survivors": stats["n_docs"],
-                "dropped_duplicates": n_convs - stats["n_docs"],
+                "dropped_duplicates": (n_convs - stats["n_docs"]
+                                       if n_exact is None
+                                       else n_convs - n_exact),
                 "sequences": stats["n_sequences"],
                 "tokens": int(stats["n_tokens"] or 0),
                 "data_path": data_path,
             }
+            if n_exact is not None:
+                summary["dropped_near_duplicates"] = n_exact - stats["n_docs"]
         finally:
             out.unpersist()
     finally:
@@ -177,6 +212,11 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--salt-block", type=int, default=64)
     ap.add_argument("--wave-buckets", type=int, default=None)
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="after exact dedup, drop MinHash-LSH near-duplicate "
+                         "conversations (keep each cluster's min conv_id)")
+    ap.add_argument("--near-threshold", type=float, default=0.5,
+                    help="verified-Jaccard threshold for --near-dedup")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[N] cores; 0 = use existing/spark-submit session")
     args = ap.parse_args()
@@ -197,7 +237,8 @@ def main() -> None:
         dispatch_tool_json=args.dispatch_tool_json,
         checkpoint_extraction=args.checkpoint_extraction,
         n_buckets=args.n_buckets, salt_block=args.salt_block,
-        wave_buckets=args.wave_buckets)
+        wave_buckets=args.wave_buckets,
+        near_dedup=args.near_dedup, near_threshold=args.near_threshold)
     print(json.dumps(summary))
     spark.stop()
 

@@ -100,6 +100,44 @@ def test_checkpoint_passthrough_matches_inline(spark, corpus, tmp_path):
     assert pa.equals(pb)
 
 
+def test_near_dedup_drops_truncated_reruns(spark, corpus, tmp_path):
+    """--near-dedup: a conversation re-uploaded minus its last turn is not an
+    EXACT duplicate (different assembled document), but LSH pairs it with its
+    base and the stage keeps only the cluster minimum ('conv_...' < 'ndup_...'
+    in string order, so the full base conversation always survives)."""
+    df, n_base, n_dup = corpus
+    last = (df.groupBy("conv_id")
+            .agg(F.max("turn_idx").alias("mx")))
+    ndups = (df.join(last, "conv_id")
+             .where((F.crc32("conv_id") % 2 == 1)
+                    & ~F.col("conv_id").startswith("dup_")
+                    # >=6 turns: dropping ONE turn keeps shingle Jaccard
+                    # well above the 0.5 stage threshold
+                    & (F.col("mx") >= 5)
+                    & (F.col("turn_idx") < F.col("mx")))
+             .drop("mx")
+             .withColumn("conv_id", F.concat(F.lit("ndup_"), "conv_id")))
+    n_near = ndups.select("conv_id").distinct().count()
+    assert n_near > 0
+    full = df.unionByName(ndups)
+
+    off = run_pipeline(spark, full, str(tmp_path / "near_off"), run_id="t12",
+                       char_budget=100_000, seq_budget=256, shards=4)
+    # exact dedup alone cannot catch the truncated re-runs
+    assert off["survivors"] == n_base + n_near
+    assert off["dropped_duplicates"] == n_dup
+
+    on = run_pipeline(spark, full, str(tmp_path / "near_on"), run_id="t13",
+                      char_budget=100_000, seq_budget=256, shards=4,
+                      near_dedup=True)
+    assert on["dropped_duplicates"] == n_dup                 # exact stage
+    assert on["dropped_near_duplicates"] == n_near           # LSH stage
+    assert on["survivors"] == n_base
+    out = spark.read.parquet(on["data_path"])
+    assert out.where(F.col("conv_id").startswith("ndup_")).count() == 0
+    assert out.count() == n_base
+
+
 def test_empty_output_returns_zero_summary(spark, corpus, tmp_path):
     """A char budget below every first turn line empties the pipeline; the
     job must return a zero-count summary, not crash reading back an empty
