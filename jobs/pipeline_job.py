@@ -189,6 +189,15 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
             out.unpersist()
     finally:
         asm.unpersist()
+        if near_dedup:
+            # drop the LSH signature build-side cache this run created
+            # (caches only — consumers stay correct; bench/test callers that
+            # interleave runs in one session re-persist on demand)
+            from ocr_engine_spark.operators.dedup import (
+                release_persisted_artifacts,
+            )
+
+            release_persisted_artifacts()
     return summary
 
 
