@@ -8,10 +8,12 @@ the ``pipeline_e2e`` contract row), over a transcript table:
     -> assemble_conversations   (one training document per conversation)
     -> dedup_conversations      (one survivor per exact-duplicate family)
     -> [--near-dedup]           (MinHash-LSH near-dup clusters over assembled
-                                 documents; keep each cluster's min conv_id —
-                                 catches truncated/perturbed re-runs exact
-                                 dedup cannot; the conv_neardup_canonical
-                                 contract row, run as a pipeline stage)
+                                 documents; keep each cluster's LONGEST
+                                 document, tie-break min conv_id — catches
+                                 truncated/perturbed re-runs exact dedup
+                                 cannot; the conv_neardup_canonical contract
+                                 row run as a pipeline stage, with the
+                                 content-aware canonical rule production needs)
     -> pack_sequences           (greedy token packing into training sequences)
 
 Cluster launch (the reference CLI lifecycle, /root/reference/run.py:24-45,
@@ -103,33 +105,42 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
     # assembled = one row per conversation; persist so the dedup survivors,
     # the packed join-back, and the stage counts reuse one materialization
     asm.persist(StorageLevel.DISK_ONLY)
+    if near_dedup:
+        from ocr_engine_spark.operators.dedup import persisted_artifact_count
+
+        artifact_mark = persisted_artifact_count()
     try:
         n_convs = asm.count()
         surv = dedup_conversations(asm)
-        n_exact = None
+        n_near = None
         if near_dedup:
             # Near-duplicate conversations (truncated/perturbed re-runs of
             # the same session) survive exact dedup; drop every LSH cluster
-            # member except the minimum conv_id (string order — any total
-            # order works; min is deterministic).  Same banded-bucket shape
-            # as the conv_neardup_canonical contract row: candidate pairs
-            # come from band buckets, never an all-pairs join, and the
-            # cluster iteration runs over the sparse verified-pair edge set
-            # only, so the stage stays sub-linear in corpus size at real
-            # duplicate rates.  Both LSH passes re-read the persisted `asm`.
+            # member except the canonical one = the LONGEST document,
+            # tie-broken by min conv_id — a truncated re-run can never
+            # displace its fuller original no matter how the ids sort.  Same
+            # banded-bucket shape as the conv_neardup_canonical contract row:
+            # candidate pairs come from band buckets, never an all-pairs
+            # join, and clustering runs over the sparse verified-pair edge
+            # set only, so the stage stays sub-linear in corpus size at real
+            # duplicate rates.  The drop set is localCheckpointed (tiny), so
+            # its count and the anti-join share one LSH execution.
             from ocr_engine_spark.operators.dedup import (
-                duplicate_clusters, minhash_lsh_pairs,
+                canonical_drop_ids, minhash_lsh_pairs,
             )
 
-            n_exact = surv.count()
             pairs = minhash_lsh_pairs(
                 surv.select(F.col("conv_id").alias("doc_id"),
                             F.col("doc_text").alias("text")),
                 num_hashes=16, bands=8, k=3,
                 jaccard_threshold=near_threshold)
-            drop = (duplicate_clusters(pairs)
-                    .where(F.col("cluster_id") != F.col("doc_id"))
-                    .select(F.col("doc_id").alias("conv_id")))
+            lengths = surv.select(
+                F.col("conv_id").alias("doc_id"),
+                F.length("doc_text").cast("long").alias("doc_len"))
+            drop = (canonical_drop_ids(pairs, lengths=lengths)
+                    .withColumnRenamed("doc_id", "conv_id")
+                    .localCheckpoint(eager=True))
+            n_near = drop.count()
             surv = surv.join(drop, "conv_id", "left_anti")
         # packing carries conv_id + doc_text THROUGH the grouped map (no
         # numeric surrogate key, no join-back): conv_id is unique, so the
@@ -177,27 +188,26 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
                 "conversations": n_convs,
                 "survivors": stats["n_docs"],
                 "dropped_duplicates": (n_convs - stats["n_docs"]
-                                       if n_exact is None
-                                       else n_convs - n_exact),
+                                       - (n_near or 0)),
                 "sequences": stats["n_sequences"],
                 "tokens": int(stats["n_tokens"] or 0),
                 "data_path": data_path,
             }
-            if n_exact is not None:
-                summary["dropped_near_duplicates"] = n_exact - stats["n_docs"]
+            if n_near is not None:
+                summary["dropped_near_duplicates"] = n_near
         finally:
             out.unpersist()
     finally:
         asm.unpersist()
         if near_dedup:
-            # drop the LSH signature build-side cache this run created
-            # (caches only — consumers stay correct; bench/test callers that
-            # interleave runs in one session re-persist on demand)
+            # drop ONLY the LSH build-side caches this run created (scoped to
+            # the registry depth snapshotted before the stage — a caller's own
+            # artifacts are never evicted; caches only, consumers stay correct)
             from ocr_engine_spark.operators.dedup import (
                 release_persisted_artifacts,
             )
 
-            release_persisted_artifacts()
+            release_persisted_artifacts(keep=artifact_mark)
     return summary
 
 
@@ -223,7 +233,8 @@ def main() -> None:
     ap.add_argument("--wave-buckets", type=int, default=None)
     ap.add_argument("--near-dedup", action="store_true",
                     help="after exact dedup, drop MinHash-LSH near-duplicate "
-                         "conversations (keep each cluster's min conv_id)")
+                         "conversations (keep each cluster's longest document,"
+                         " tie-break min conv_id)")
     ap.add_argument("--near-threshold", type=float, default=0.5,
                     help="verified-Jaccard threshold for --near-dedup")
     ap.add_argument("--cpus", type=int, default=0,

@@ -291,18 +291,15 @@ def q_conv_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes anyway (the pairs-artifact pattern, operators/dedup.py).
     """
     from ocr_engine_spark.operators.dedup import (
-        duplicate_clusters, minhash_lsh_pairs,
+        canonical_drop_ids, minhash_lsh_pairs,
     )
 
     docs = _neardup_assembled(spark, sf_dir).localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(docs.select("doc_id", "text"), num_hashes=16,
                               bands=8, k=3, jaccard_threshold=0.5,
                               family="md5")
-    clusters = duplicate_clusters(pairs)
-    drop = clusters.where(
-        F.col("cluster_id") != F.col("doc_id")).select("doc_id")
     return (
-        docs.join(drop, "doc_id", "left_anti")
+        docs.join(canonical_drop_ids(pairs), "doc_id", "left_anti")
         .select("doc_id", "conv_id", F.md5("text").alias("doc_md5"))
     )
 

@@ -65,14 +65,22 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_persisted_artifacts() -> int:
-    """Unpersist every dedup build-side artifact cached by earlier calls.
+def persisted_artifact_count() -> int:
+    """Current registry depth — snapshot before a scoped block, then pass it
+    to ``release_persisted_artifacts(keep=...)`` to release only the artifacts
+    that block created (never another caller's caches)."""
+    return len(_PERSISTED)
+
+
+def release_persisted_artifacts(keep: int = 0) -> int:
+    """Unpersist dedup build-side artifacts cached by earlier calls, newest
+    first, down to registry depth ``keep`` (0 = release everything).
 
     Returns the number of frames released.  Safe to call at any time: consuming
     a returned DataFrame after release only loses the cache, not correctness.
     """
     n = 0
-    while _PERSISTED:
+    while len(_PERSISTED) > keep:
         try:
             _PERSISTED.pop().unpersist()
             n += 1
@@ -651,6 +659,37 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels.select("doc_id", "cluster_id")
 
 
+def canonical_drop_ids(pairs: DataFrame,
+                       lengths: DataFrame | None = None) -> DataFrame:
+    """The (doc_id) rows a canonical-dedup pass DROPS: every near-dup cluster
+    member except the cluster's canonical document.
+
+    Default policy (the contract rows `dedup_canonical` /
+    `conv_neardup_canonical`): canonical = minimum ``doc_id`` — deterministic
+    and oracle-replayable, but id-order is content-blind.  With ``lengths``
+    (``doc_id``, ``doc_len``): canonical = the LONGEST document, tie-broken by
+    minimum ``doc_id`` — the production rule, so a truncated re-run can never
+    displace its fuller original no matter how the ids happen to sort.
+
+    Scale shape: the cluster frame holds only documents that appear in a
+    near-dup pair (sparse at real duplicate rates); the length join and the
+    per-cluster argmin are over that sparse set, never the corpus.
+    """
+    clusters = duplicate_clusters(pairs)
+    if lengths is None:
+        return clusters.where(
+            F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    m = clusters.join(lengths, "doc_id")
+    # algebraic per-cluster argmin of (-doc_len, doc_id): one map-side
+    # combinable aggregation, no window sort
+    keep = m.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("doc_len")).alias("nl"),
+                       F.col("doc_id").alias("id"))).alias("w"))
+    return (m.join(keep, "cluster_id")
+            .where(F.col("doc_id") != F.col("w.id"))
+            .select("doc_id"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs (md5 family, Jaccard >= 0.5)
     collapsed into connected components; cluster_id is the canonical keeper.
@@ -719,10 +758,8 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     pairs = materialized_lsh_pairs(spark, sf_dir, jaccard_threshold=0.5,
                                    family="md5")
-    clusters = duplicate_clusters(pairs)
-    drop = clusters.where(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
     return (
-        docs.join(drop, "doc_id", "left_anti")
+        docs.join(canonical_drop_ids(pairs), "doc_id", "left_anti")
         .select("doc_id", F.md5("text").alias("text_md5"))
     )
 

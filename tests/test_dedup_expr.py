@@ -294,3 +294,48 @@ def test_release_persisted_artifacts(spark):
     assert n == len(cached)
     assert dedup._PERSISTED == []
     assert all(df.storageLevel == StorageLevel.NONE for df in cached)
+
+
+def test_canonical_drop_ids_policies(spark):
+    """min-id rule (contract rows) vs keep-longest rule (production stage):
+    same pair graph, different canonical member."""
+    from ocr_engine_spark.operators.dedup import canonical_drop_ids
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "doc_id_a": [1, 2, 7],
+        "doc_id_b": [2, 3, 8],
+        "jaccard": [0.9, 0.8, 0.7],
+    }))
+    # min-id: clusters {1,2,3} and {7,8} keep 1 and 7
+    assert {r["doc_id"] for r in canonical_drop_ids(pairs).collect()} \
+        == {2, 3, 8}
+    # keep-longest: 2 is the longest of {1,2,3}; 7/8 tie -> min id 7 kept
+    lengths = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 8],
+        "doc_len": [10, 50, 10, 4, 4],
+    }))
+    assert {r["doc_id"]
+            for r in canonical_drop_ids(pairs, lengths=lengths).collect()} \
+        == {1, 3, 8}
+
+
+def test_release_persisted_artifacts_scoped_keep(spark):
+    """release(keep=mark) pops only artifacts registered after the mark."""
+    from ocr_engine_spark.operators import dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta"],
+    }))
+    dedup.release_persisted_artifacts()
+    dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                            family="xxhash64").count()
+    mark = dedup.persisted_artifact_count()
+    assert mark >= 1
+    dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.6,
+                            family="xxhash64").count()
+    assert dedup.persisted_artifact_count() > mark
+    released = dedup.release_persisted_artifacts(keep=mark)
+    assert released >= 1
+    assert dedup.persisted_artifact_count() == mark
+    dedup.release_persisted_artifacts()

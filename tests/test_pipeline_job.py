@@ -103,8 +103,11 @@ def test_checkpoint_passthrough_matches_inline(spark, corpus, tmp_path):
 def test_near_dedup_drops_truncated_reruns(spark, corpus, tmp_path):
     """--near-dedup: a conversation re-uploaded minus its last turn is not an
     EXACT duplicate (different assembled document), but LSH pairs it with its
-    base and the stage keeps only the cluster minimum ('conv_...' < 'ndup_...'
-    in string order, so the full base conversation always survives)."""
+    base and the stage keeps the cluster's LONGEST document.  The plants are
+    named 'aaa_...' — sorting BEFORE every base conv_id — so this test fails
+    under a min-conv_id canonical rule (which would keep the truncated copy
+    and silently drop the fuller original): the keep-longest rule is what is
+    pinned, not a lucky id ordering."""
     df, n_base, n_dup = corpus
     last = (df.groupBy("conv_id")
             .agg(F.max("turn_idx").alias("mx")))
@@ -116,7 +119,7 @@ def test_near_dedup_drops_truncated_reruns(spark, corpus, tmp_path):
                     & (F.col("mx") >= 5)
                     & (F.col("turn_idx") < F.col("mx")))
              .drop("mx")
-             .withColumn("conv_id", F.concat(F.lit("ndup_"), "conv_id")))
+             .withColumn("conv_id", F.concat(F.lit("aaa_"), "conv_id")))
     n_near = ndups.select("conv_id").distinct().count()
     assert n_near > 0
     full = df.unionByName(ndups)
@@ -134,7 +137,8 @@ def test_near_dedup_drops_truncated_reruns(spark, corpus, tmp_path):
     assert on["dropped_near_duplicates"] == n_near           # LSH stage
     assert on["survivors"] == n_base
     out = spark.read.parquet(on["data_path"])
-    assert out.where(F.col("conv_id").startswith("ndup_")).count() == 0
+    # the fuller originals survive even though every plant id sorts first
+    assert out.where(F.col("conv_id").startswith("aaa_")).count() == 0
     assert out.count() == n_base
 
 
