@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": dedup.q_boilerplate_strip,
         "conv_neardup": conversations.q_conv_neardup,
         "conv_neardup_canonical": conversations.q_conv_neardup_canonical,
+        "conv_neardup_keep_longest": conversations.q_conv_neardup_keep_longest,
         "kind_dispatch_extract": documents.q_kind_dispatch_extract,
         "pipeline_e2e": conversations.q_pipeline_e2e,
         # — never driver-checked before r04 / changed in r04 —
@@ -524,6 +525,70 @@ def oracle_sql() -> dict[str, str]:
             dropped AS (
               SELECT v AS doc_id FROM reach GROUP BY v
               HAVING CAST(min(l) AS BIGINT) != v)
+            SELECT doc_id, conv_id, md5(text) AS doc_md5 FROM convdocs
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
+        # the PRODUCTION canonical rule (pipeline_job --near-dedup): keep each
+        # cluster's LONGEST document, tie-break min doc_id.  Plants are
+        # EXTENDED re-runs ('xdup_<N>' = base plus a copy of its first turn
+        # appended) at doc_id N + offset: the higher id is the longer doc, so
+        # this row discriminates keep-longest from keep-min-id.
+        "conv_neardup_keep_longest": f"""
+            WITH RECURSIVE t AS (
+              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                     text AS extracted_text
+              FROM documents),
+            tsel AS (
+              SELECT * FROM t
+              WHERE CAST(string_split(conv_id, '_')[2] AS INTEGER)
+                    % {conversations.CONV_NEAR_MOD}
+                    = {conversations.CONV_EXT_RESIDUE}),
+            tx AS (
+              SELECT 'xdup_' || string_split(conv_id, '_')[2] AS conv_id,
+                     turn_idx, role, extracted_text
+              FROM tsel
+              UNION ALL
+              SELECT 'xdup_' || string_split(conv_id, '_')[2],
+                     mx + 1, role, extracted_text
+              FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+                    FROM tsel)
+              WHERE turn_idx = 0),
+            asmn AS (
+              SELECT conv_id,
+                     string_agg(role || ': ' || extracted_text,
+                          chr(10) ORDER BY turn_idx) AS doc_text
+              FROM (SELECT * FROM t UNION ALL SELECT * FROM tx)
+              GROUP BY conv_id),
+            convdocs AS MATERIALIZED (
+              SELECT CASE WHEN conv_id LIKE 'xdup_%'
+                          THEN CAST(string_split(conv_id, '_')[2] AS BIGINT)
+                               + {conversations.CONV_NEAR_OFFSET}
+                          ELSE CAST(string_split(conv_id, '_')[2] AS BIGINT)
+                     END AS doc_id,
+                     conv_id,
+                     doc_text AS text
+              FROM asmn),
+            {_minhash_ctes("convdocs")},
+            e AS MATERIALIZED (
+                  SELECT doc_id_a AS s, doc_id_b AS tt FROM mh_pairs
+                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
+            reach(v, l) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.tt, r.l FROM reach r JOIN e ON e.s = r.v),
+            comp AS (
+              SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY v),
+            rk AS (
+              SELECT m.doc_id,
+                     row_number() OVER (PARTITION BY m.cluster_id
+                                        ORDER BY length(d.text) DESC,
+                                                 m.doc_id ASC) AS rn
+              FROM comp m JOIN convdocs d ON d.doc_id = m.doc_id),
+            dropped AS (SELECT doc_id FROM rk WHERE rn > 1)
             SELECT doc_id, conv_id, md5(text) AS doc_md5 FROM convdocs
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,

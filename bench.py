@@ -97,6 +97,7 @@ HEADLINE = [
     "conv_assemble_capped",
     "conv_neardup",
     "conv_neardup_canonical",
+    "conv_neardup_keep_longest",
     "pipeline_e2e",
 ]
 

@@ -47,6 +47,15 @@ CONV_NEAR_MOD = 5
 CONV_NEAR_RESIDUE = 1
 CONV_NEAR_OFFSET = 1_000_000
 
+# planted EXTENDED re-runs (q_conv_neardup_keep_longest): every conversation
+# whose numeric suffix N has N % CONV_NEAR_MOD == CONV_EXT_RESIDUE reappears
+# under 'xdup_<N>' with ONE EXTRA turn appended (a copy of its first turn at
+# turn_idx max+1) — the re-run that went one turn FURTHER, so the plant is
+# the LONGER document while carrying the HIGHER doc_id (N + CONV_NEAR_OFFSET).
+# Keep-longest must keep the plant; keep-min-id would keep the base — the
+# residue class that discriminates the two canonical rules.
+CONV_EXT_RESIDUE = 3
+
 
 def assemble_conversations(extracted: DataFrame) -> DataFrame:
     """Extraction output (+ role/tool/ts passthrough) -> one row per conversation.
@@ -240,6 +249,80 @@ def _neardup_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
                sfx + CONV_NEAR_OFFSET).otherwise(sfx).alias("doc_id"),
         "conv_id",
         F.col("doc_text").alias("text"))
+
+
+def _neardup_extended_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcript corpus plus EXTENDED-re-run plants ('xdup_<N>' =
+    conversation N % CONV_NEAR_MOD == CONV_EXT_RESIDUE with a copy of its
+    first turn appended at turn_idx max+1), one kernel pass + one assembly
+    exchange — (doc_id, conv_id, text) with plant ids at N + CONV_NEAR_OFFSET.
+    The plant is strictly LONGER than its base but carries the HIGHER id."""
+    from pyspark.sql.window import Window
+
+    from ocr_engine_spark.operators.documents import tool_transcripts
+    from ocr_engine_spark.operators.extract import extract_transcripts
+    from ocr_engine_spark.operators.relational import load
+
+    transcripts = tool_transcripts(load(spark, sf_dir, "documents"))
+    suffix = F.split(F.col("conv_id"), "_").getItem(1).cast("int")
+    sel = transcripts.where(suffix % CONV_NEAR_MOD == CONV_EXT_RESIDUE)
+    extra = (
+        sel.withColumn("mx", F.max("turn_idx").over(Window.partitionBy("conv_id")))
+        .where(F.col("turn_idx") == 0)
+        .withColumn("turn_idx", F.col("mx") + F.lit(1))
+        .drop("mx")
+    )
+    ext = (sel.unionByName(extra)
+           .withColumn("conv_id",
+                       F.concat(F.lit("xdup_"), suffix.cast("string"))))
+    extracted = extract_transcripts(
+        transcripts.unionByName(ext),
+        num_partitions=spark.sparkContext.defaultParallelism * 2,
+        passthrough=("role", "tool", "ts"),
+        dispatch_tool_json=True,
+    )
+    asm = assemble_conversations(extracted)
+    sfx = F.split(F.col("conv_id"), "_").getItem(1).cast("bigint")
+    return asm.select(
+        F.when(F.col("conv_id").startswith("xdup_"),
+               sfx + CONV_NEAR_OFFSET).otherwise(sfx).alias("doc_id"),
+        "conv_id",
+        F.col("doc_text").alias("text"))
+
+
+def q_conv_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION canonical rule of near-dedup, value-checked: keep each
+    cluster's LONGEST document, tie-break min doc_id — exactly what
+    ``jobs/pipeline_job.py --near-dedup`` applies (``canonical_drop_ids``
+    with lengths).
+
+    The planted extended re-runs make this row DISCRIMINATING: every plant
+    sits at doc_id N + CONV_NEAR_OFFSET — strictly higher than its base N —
+    yet is the longer document, so keep-longest keeps the plant and drops the
+    base, while a min-id rule would do the opposite.  A hash-equal survivor
+    set therefore proves the content-aware rule end-to-end (LSH pairing,
+    clustering, per-cluster argmin over (-len, id), anti-join), not just the
+    plumbing.
+
+    Scale shape: identical to conv_neardup_canonical (banded bucket join,
+    components over the sparse edge set, broadcast-size drop set) plus one
+    length projection over the cluster MEMBERS only — never a corpus sort.
+    """
+    from ocr_engine_spark.operators.dedup import (
+        canonical_drop_ids, minhash_lsh_pairs,
+    )
+
+    docs = _neardup_extended_assembled(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(docs.select("doc_id", "text"), num_hashes=16,
+                              bands=8, k=3, jaccard_threshold=0.5,
+                              family="md5")
+    lengths = docs.select("doc_id",
+                          F.length("text").cast("long").alias("doc_len"))
+    return (
+        docs.join(canonical_drop_ids(pairs, lengths=lengths),
+                  "doc_id", "left_anti")
+        .select("doc_id", "conv_id", F.md5("text").alias("doc_md5"))
+    )
 
 
 def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

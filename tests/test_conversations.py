@@ -88,6 +88,32 @@ def test_conv_neardup_canonical_drop_invariants(spark):
     assert len(dropped) > 0  # non-vacuous: plants exist and pair at sf0.001
 
 
+def test_conv_neardup_keep_longest_inverts_min_id(spark):
+    """The discriminating invariant: every extended plant carries the HIGHER
+    doc_id yet survives (it is the longer document), and its base is dropped —
+    the exact opposite of what the min-id rule would do on the same pairs."""
+    from ocr_engine_spark.operators.conversations import (
+        CONV_EXT_RESIDUE, CONV_NEAR_MOD, CONV_NEAR_OFFSET,
+        _neardup_extended_assembled, q_conv_neardup_keep_longest,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    surv = {r["doc_id"] for r in q_conv_neardup_keep_longest(spark, sf_dir)
+            .select("doc_id").collect()}
+    alldocs = {r["doc_id"] for r in _neardup_extended_assembled(spark, sf_dir)
+               .select("doc_id").collect()}
+    plants = {d for d in alldocs if d >= CONV_NEAR_OFFSET}
+    assert plants and all(
+        (p - CONV_NEAR_OFFSET) % CONV_NEAR_MOD == CONV_EXT_RESIDUE
+        for p in plants)
+    dropped = alldocs - surv
+    assert dropped, "vacuous: no cluster formed at sf0.001"
+    # dropped docs are exactly the BASES of plants that paired; their longer
+    # plant twin survived
+    assert all(d < CONV_NEAR_OFFSET for d in dropped)
+    assert all(d + CONV_NEAR_OFFSET in surv for d in dropped)
+
+
 def test_assembly_deterministic_under_repartition(spark):
     df = spark.createDataFrame(
         [(f"c{i % 7}", t, f"t{t}", "user", None, _ts(t))
