@@ -268,6 +268,81 @@ def _minhash_ctes(src: str = "documents") -> str:
     return _MINHASH_CTES.replace("FROM documents", f"FROM {src}")
 
 
+def _conv_plant_ctes(prefix: str, residue: int, plant_kind: str) -> str:
+    """t/tsel/p/asmn/convdocs chain shared by the conversation near-dup
+    oracles (the SQL replay of operators/conversations._planted_assembled):
+    the transcript corpus plus plant conversations '<prefix>_<N>' for every
+    base suffix N % CONV_NEAR_MOD == residue — 'truncated' = base minus its
+    LAST turn, 'extended' = base plus a copy of its FIRST turn at max+1 —
+    assembled per conversation and keyed (doc_id, conv_id, text) with plant
+    ids at N + CONV_NEAR_OFFSET.  convdocs is MATERIALIZED: DuckDB inlines
+    CTEs, so a recursive consumer would otherwise re-execute the whole
+    assembly chain per iteration."""
+    sfx = "string_split(conv_id, '_')[2]"
+    plant = {
+        "truncated": f"""p AS (
+              SELECT '{prefix}_' || {sfx} AS conv_id,
+                     turn_idx, role, extracted_text
+              FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+                    FROM tsel)
+              WHERE turn_idx < mx)""",
+        "extended": f"""p AS (
+              SELECT '{prefix}_' || {sfx} AS conv_id,
+                     turn_idx, role, extracted_text
+              FROM tsel
+              UNION ALL
+              SELECT '{prefix}_' || {sfx}, mx + 1, role, extracted_text
+              FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+                    FROM tsel)
+              WHERE turn_idx = 0)""",
+    }[plant_kind]
+    return f"""t AS (
+              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                     text AS extracted_text
+              FROM documents),
+            tsel AS (
+              SELECT * FROM t
+              WHERE CAST({sfx} AS INTEGER)
+                    % {conversations.CONV_NEAR_MOD} = {residue}),
+            {plant},
+            asmn AS (
+              SELECT conv_id,
+                     string_agg(role || ': ' || extracted_text,
+                          chr(10) ORDER BY turn_idx) AS doc_text
+              FROM (SELECT * FROM t UNION ALL SELECT * FROM p)
+              GROUP BY conv_id),
+            convdocs AS MATERIALIZED (
+              SELECT CASE WHEN conv_id LIKE '{prefix}_%'
+                          THEN CAST({sfx} AS BIGINT)
+                               + {conversations.CONV_NEAR_OFFSET}
+                          ELSE CAST({sfx} AS BIGINT)
+                     END AS doc_id,
+                     conv_id,
+                     doc_text AS text
+              FROM asmn)"""
+
+
+# connected components over mh_pairs: bidirectional MATERIALIZED edge set
+# (DuckDB would re-execute the inlined MinHash chain per recursive iteration
+# otherwise) + label-reach fixpoint; min reachable label = cluster canonical.
+_REACH_CTES = """e AS MATERIALIZED (
+                  SELECT doc_id_a AS s, doc_id_b AS tt FROM mh_pairs
+                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
+            reach(v, l) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.tt, r.l FROM reach r JOIN e ON e.s = r.v)"""
+
+# the min-id canonical rule's drop set (every member that is not its
+# component's minimum label)
+_DROPPED_MIN_ID = """dropped AS (
+              SELECT v AS doc_id FROM reach GROUP BY v
+              HAVING CAST(min(l) AS BIGINT) != v)"""
+
+
 # Seeded deterministic Lloyd's rounds (operators/similarity.train_centroids)
 # replayed as a CTE chain ending in ``cent(centroid_id, emb)``.  The centroid
 # update sums INTEGER-quantized components (floor(x*quant + 0.5) bigints), so the
@@ -441,36 +516,8 @@ def oracle_sql() -> dict[str, str]:
         # MinHash-LSH chain replays end-to-end, pairing each plant with its
         # base at the true shared-shingle Jaccard.
         "conv_neardup": f"""
-            WITH t AS (
-              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
-                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
-                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
-                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-                     text AS extracted_text
-              FROM documents),
-            tn AS (
-              SELECT 'ndup_' || string_split(conv_id, '_')[2] AS conv_id,
-                     turn_idx, role, extracted_text
-              FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
-                    FROM t
-                    WHERE CAST(string_split(conv_id, '_')[2] AS INTEGER)
-                          % {conversations.CONV_NEAR_MOD}
-                          = {conversations.CONV_NEAR_RESIDUE})
-              WHERE turn_idx < mx),
-            asmn AS (
-              SELECT conv_id,
-                     string_agg(role || ': ' || extracted_text,
-                          chr(10) ORDER BY turn_idx) AS doc_text
-              FROM (SELECT * FROM t UNION ALL SELECT * FROM tn)
-              GROUP BY conv_id),
-            convdocs AS (
-              SELECT CASE WHEN conv_id LIKE 'ndup_%'
-                          THEN CAST(string_split(conv_id, '_')[2] AS BIGINT)
-                               + {conversations.CONV_NEAR_OFFSET}
-                          ELSE CAST(string_split(conv_id, '_')[2] AS BIGINT)
-                     END AS doc_id,
-                     doc_text AS text
-              FROM asmn),
+            WITH {_conv_plant_ctes('ndup', conversations.CONV_NEAR_RESIDUE,
+                                   'truncated')},
             {_minhash_ctes("convdocs")}
             SELECT doc_id_a, doc_id_b, jaccard FROM mh_pairs
         """,
@@ -480,51 +527,12 @@ def oracle_sql() -> dict[str, str]:
         # oracle pattern) and an anti-join dropping every non-minimum cluster
         # member — each truncated re-run loses to its base conversation.
         "conv_neardup_canonical": f"""
-            WITH RECURSIVE t AS (
-              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
-                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
-                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
-                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-                     text AS extracted_text
-              FROM documents),
-            tn AS (
-              SELECT 'ndup_' || string_split(conv_id, '_')[2] AS conv_id,
-                     turn_idx, role, extracted_text
-              FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
-                    FROM t
-                    WHERE CAST(string_split(conv_id, '_')[2] AS INTEGER)
-                          % {conversations.CONV_NEAR_MOD}
-                          = {conversations.CONV_NEAR_RESIDUE})
-              WHERE turn_idx < mx),
-            asmn AS (
-              SELECT conv_id,
-                     string_agg(role || ': ' || extracted_text,
-                          chr(10) ORDER BY turn_idx) AS doc_text
-              FROM (SELECT * FROM t UNION ALL SELECT * FROM tn)
-              GROUP BY conv_id),
-            convdocs AS MATERIALIZED (
-              SELECT CASE WHEN conv_id LIKE 'ndup_%'
-                          THEN CAST(string_split(conv_id, '_')[2] AS BIGINT)
-                               + {conversations.CONV_NEAR_OFFSET}
-                          ELSE CAST(string_split(conv_id, '_')[2] AS BIGINT)
-                     END AS doc_id,
-                     conv_id,
-                     doc_text AS text
-              FROM asmn),
+            WITH RECURSIVE
+            {_conv_plant_ctes('ndup', conversations.CONV_NEAR_RESIDUE,
+                              'truncated')},
             {_minhash_ctes("convdocs")},
-            -- MATERIALIZED on convdocs/e: DuckDB inlines CTEs, so without it
-            -- every recursive-step reference re-executes the whole assembly +
-            -- MinHash chain (sf0.1 replay ran >570s; materialized ~190s)
-            e AS MATERIALIZED (
-                  SELECT doc_id_a AS s, doc_id_b AS tt FROM mh_pairs
-                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
-            reach(v, l) AS (
-              SELECT s, s FROM e
-              UNION
-              SELECT e.tt, r.l FROM reach r JOIN e ON e.s = r.v),
-            dropped AS (
-              SELECT v AS doc_id FROM reach GROUP BY v
-              HAVING CAST(min(l) AS BIGINT) != v)
+            {_REACH_CTES},
+            {_DROPPED_MIN_ID}
             SELECT doc_id, conv_id, md5(text) AS doc_md5 FROM convdocs
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
@@ -534,51 +542,11 @@ def oracle_sql() -> dict[str, str]:
         # appended) at doc_id N + offset: the higher id is the longer doc, so
         # this row discriminates keep-longest from keep-min-id.
         "conv_neardup_keep_longest": f"""
-            WITH RECURSIVE t AS (
-              SELECT 'conv_' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
-                     CAST(doc_id // 50 AS INTEGER) AS turn_idx,
-                     CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
-                          WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-                     text AS extracted_text
-              FROM documents),
-            tsel AS (
-              SELECT * FROM t
-              WHERE CAST(string_split(conv_id, '_')[2] AS INTEGER)
-                    % {conversations.CONV_NEAR_MOD}
-                    = {conversations.CONV_EXT_RESIDUE}),
-            tx AS (
-              SELECT 'xdup_' || string_split(conv_id, '_')[2] AS conv_id,
-                     turn_idx, role, extracted_text
-              FROM tsel
-              UNION ALL
-              SELECT 'xdup_' || string_split(conv_id, '_')[2],
-                     mx + 1, role, extracted_text
-              FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
-                    FROM tsel)
-              WHERE turn_idx = 0),
-            asmn AS (
-              SELECT conv_id,
-                     string_agg(role || ': ' || extracted_text,
-                          chr(10) ORDER BY turn_idx) AS doc_text
-              FROM (SELECT * FROM t UNION ALL SELECT * FROM tx)
-              GROUP BY conv_id),
-            convdocs AS MATERIALIZED (
-              SELECT CASE WHEN conv_id LIKE 'xdup_%'
-                          THEN CAST(string_split(conv_id, '_')[2] AS BIGINT)
-                               + {conversations.CONV_NEAR_OFFSET}
-                          ELSE CAST(string_split(conv_id, '_')[2] AS BIGINT)
-                     END AS doc_id,
-                     conv_id,
-                     doc_text AS text
-              FROM asmn),
+            WITH RECURSIVE
+            {_conv_plant_ctes('xdup', conversations.CONV_EXT_RESIDUE,
+                              'extended')},
             {_minhash_ctes("convdocs")},
-            e AS MATERIALIZED (
-                  SELECT doc_id_a AS s, doc_id_b AS tt FROM mh_pairs
-                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
-            reach(v, l) AS (
-              SELECT s, s FROM e
-              UNION
-              SELECT e.tt, r.l FROM reach r JOIN e ON e.s = r.v),
+            {_REACH_CTES},
             comp AS (
               SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
               FROM reach GROUP BY v),
@@ -1109,15 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         # computes the identical fixpoint by iterative min-label propagation)
         "dedup_clusters": f"""
             WITH RECURSIVE {_MINHASH_CTES},
-            -- MATERIALIZED: DuckDB inlines CTEs, so the recursive reach step
-            -- would re-execute the whole MinHash chain per iteration otherwise
-            e AS MATERIALIZED (
-                  SELECT doc_id_a AS s, doc_id_b AS t FROM mh_pairs
-                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
-            reach(v, l) AS (
-              SELECT s, s FROM e
-              UNION
-              SELECT e.t, r.l FROM reach r JOIN e ON e.s = r.v)
+            {_REACH_CTES}
             SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
             FROM reach GROUP BY v
         """,
@@ -1259,18 +1219,8 @@ def oracle_sql() -> dict[str, str]:
         # doc_id, over the SAME MinHash-LSH component pipeline as dedup_clusters
         "dedup_canonical": f"""
             WITH RECURSIVE {_MINHASH_CTES},
-            -- MATERIALIZED: DuckDB inlines CTEs, so the recursive reach step
-            -- would re-execute the whole MinHash chain per iteration otherwise
-            e AS MATERIALIZED (
-                  SELECT doc_id_a AS s, doc_id_b AS t FROM mh_pairs
-                  UNION ALL SELECT doc_id_b, doc_id_a FROM mh_pairs),
-            reach(v, l) AS (
-              SELECT s, s FROM e
-              UNION
-              SELECT e.t, r.l FROM reach r JOIN e ON e.s = r.v),
-            dropped AS (
-              SELECT v AS doc_id FROM reach GROUP BY v
-              HAVING CAST(min(l) AS BIGINT) != v)
+            {_REACH_CTES},
+            {_DROPPED_MIN_ID}
             SELECT doc_id, md5(text) AS text_md5 FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,

@@ -215,29 +215,27 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", F.concat(F.lit("conv_"), F.col("doc_id").cast("string")))
 
 
-def _neardup_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _planted_assembled(spark: SparkSession, sf_dir: str, residue: int,
+                       prefix: str, make_plant) -> DataFrame:
     """Shared subtree of the conversation near-dup queries: the transcript
-    corpus plus the truncated-re-run plants ('ndup_<N>' = conversation
-    N % CONV_NEAR_MOD == CONV_NEAR_RESIDUE minus its LAST turn), run through
-    ONE kernel pass and ONE assembly exchange, keyed for the dedup suite —
-    (doc_id, conv_id, text) with plant ids offset by CONV_NEAR_OFFSET."""
-    from pyspark.sql.window import Window
-
+    corpus plus PLANT conversations — ``make_plant(sel)`` derives the plant
+    turn rows from the selected base conversations (suffix N % CONV_NEAR_MOD
+    == ``residue``), re-keyed as '<prefix>_<N>' — run through ONE kernel pass
+    and ONE assembly exchange, keyed for the dedup suite: (doc_id, conv_id,
+    text) with plant ids at N + CONV_NEAR_OFFSET."""
     from ocr_engine_spark.operators.documents import tool_transcripts
     from ocr_engine_spark.operators.extract import extract_transcripts
     from ocr_engine_spark.operators.relational import load
 
     transcripts = tool_transcripts(load(spark, sf_dir, "documents"))
     suffix = F.split(F.col("conv_id"), "_").getItem(1).cast("int")
-    near = (
-        transcripts.where(suffix % CONV_NEAR_MOD == CONV_NEAR_RESIDUE)
-        .withColumn("mx", F.max("turn_idx").over(Window.partitionBy("conv_id")))
-        .where(F.col("turn_idx") < F.col("mx"))
-        .drop("mx")
-        .withColumn("conv_id", F.concat(F.lit("ndup_"), suffix.cast("string")))
+    plant = (
+        make_plant(transcripts.where(suffix % CONV_NEAR_MOD == residue))
+        .withColumn("conv_id",
+                    F.concat(F.lit(prefix + "_"), suffix.cast("string")))
     )
     extracted = extract_transcripts(
-        transcripts.unionByName(near),
+        transcripts.unionByName(plant),
         num_partitions=spark.sparkContext.defaultParallelism * 2,
         passthrough=("role", "tool", "ts"),
         dispatch_tool_json=True,
@@ -245,49 +243,45 @@ def _neardup_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     asm = assemble_conversations(extracted)
     sfx = F.split(F.col("conv_id"), "_").getItem(1).cast("bigint")
     return asm.select(
-        F.when(F.col("conv_id").startswith("ndup_"),
+        F.when(F.col("conv_id").startswith(prefix + "_"),
                sfx + CONV_NEAR_OFFSET).otherwise(sfx).alias("doc_id"),
         "conv_id",
         F.col("doc_text").alias("text"))
+
+
+def _neardup_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus + truncated-re-run plants ('ndup_<N>' = conversation minus its
+    LAST turn) — see ``_planted_assembled``."""
+    from pyspark.sql.window import Window
+
+    def truncate(sel: DataFrame) -> DataFrame:
+        return (
+            sel.withColumn(
+                "mx", F.max("turn_idx").over(Window.partitionBy("conv_id")))
+            .where(F.col("turn_idx") < F.col("mx"))
+            .drop("mx"))
+
+    return _planted_assembled(spark, sf_dir, CONV_NEAR_RESIDUE, "ndup",
+                              truncate)
 
 
 def _neardup_extended_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The transcript corpus plus EXTENDED-re-run plants ('xdup_<N>' =
-    conversation N % CONV_NEAR_MOD == CONV_EXT_RESIDUE with a copy of its
-    first turn appended at turn_idx max+1), one kernel pass + one assembly
-    exchange — (doc_id, conv_id, text) with plant ids at N + CONV_NEAR_OFFSET.
-    The plant is strictly LONGER than its base but carries the HIGHER id."""
+    """Corpus + EXTENDED-re-run plants ('xdup_<N>' = conversation with a copy
+    of its first turn appended at turn_idx max+1) — strictly LONGER than the
+    base but carrying the HIGHER doc_id.  See ``_planted_assembled``."""
     from pyspark.sql.window import Window
 
-    from ocr_engine_spark.operators.documents import tool_transcripts
-    from ocr_engine_spark.operators.extract import extract_transcripts
-    from ocr_engine_spark.operators.relational import load
+    def extend(sel: DataFrame) -> DataFrame:
+        extra = (
+            sel.withColumn(
+                "mx", F.max("turn_idx").over(Window.partitionBy("conv_id")))
+            .where(F.col("turn_idx") == 0)
+            .withColumn("turn_idx", F.col("mx") + F.lit(1))
+            .drop("mx"))
+        return sel.unionByName(extra)
 
-    transcripts = tool_transcripts(load(spark, sf_dir, "documents"))
-    suffix = F.split(F.col("conv_id"), "_").getItem(1).cast("int")
-    sel = transcripts.where(suffix % CONV_NEAR_MOD == CONV_EXT_RESIDUE)
-    extra = (
-        sel.withColumn("mx", F.max("turn_idx").over(Window.partitionBy("conv_id")))
-        .where(F.col("turn_idx") == 0)
-        .withColumn("turn_idx", F.col("mx") + F.lit(1))
-        .drop("mx")
-    )
-    ext = (sel.unionByName(extra)
-           .withColumn("conv_id",
-                       F.concat(F.lit("xdup_"), suffix.cast("string"))))
-    extracted = extract_transcripts(
-        transcripts.unionByName(ext),
-        num_partitions=spark.sparkContext.defaultParallelism * 2,
-        passthrough=("role", "tool", "ts"),
-        dispatch_tool_json=True,
-    )
-    asm = assemble_conversations(extracted)
-    sfx = F.split(F.col("conv_id"), "_").getItem(1).cast("bigint")
-    return asm.select(
-        F.when(F.col("conv_id").startswith("xdup_"),
-               sfx + CONV_NEAR_OFFSET).otherwise(sfx).alias("doc_id"),
-        "conv_id",
-        F.col("doc_text").alias("text"))
+    return _planted_assembled(spark, sf_dir, CONV_EXT_RESIDUE, "xdup",
+                              extend)
 
 
 def q_conv_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,21 +302,8 @@ def q_conv_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     components over the sparse edge set, broadcast-size drop set) plus one
     length projection over the cluster MEMBERS only — never a corpus sort.
     """
-    from ocr_engine_spark.operators.dedup import (
-        canonical_drop_ids, minhash_lsh_pairs,
-    )
-
-    docs = _neardup_extended_assembled(spark, sf_dir).localCheckpoint(eager=True)
-    pairs = minhash_lsh_pairs(docs.select("doc_id", "text"), num_hashes=16,
-                              bands=8, k=3, jaccard_threshold=0.5,
-                              family="md5")
-    lengths = docs.select("doc_id",
-                          F.length("text").cast("long").alias("doc_len"))
-    return (
-        docs.join(canonical_drop_ids(pairs, lengths=lengths),
-                  "doc_id", "left_anti")
-        .select("doc_id", "conv_id", F.md5("text").alias("doc_md5"))
-    )
+    return _lsh_canonical_survivors(
+        _neardup_extended_assembled(spark, sf_dir), keep_longest=True)
 
 
 def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,16 +354,33 @@ def q_conv_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled-corpus materialization is the same checkpoint a production run
     writes anyway (the pairs-artifact pattern, operators/dedup.py).
     """
+    return _lsh_canonical_survivors(_neardup_assembled(spark, sf_dir),
+                                    keep_longest=False)
+
+
+def _lsh_canonical_survivors(docs: DataFrame,
+                             keep_longest: bool) -> DataFrame:
+    """Shared end-product composition of the two canonical contract rows:
+    materialize the assembled (doc_id, conv_id, text) corpus ONCE
+    (``localCheckpoint`` standing in for the table a production run
+    persists), band-LSH it with the md5-family parameters every conv oracle
+    replays, and anti-join the ``canonical_drop_ids`` drop set — min-id rule,
+    or keep-longest when ``keep_longest`` (the pipeline-job rule).  Emits
+    per-survivor content digests."""
     from ocr_engine_spark.operators.dedup import (
         canonical_drop_ids, minhash_lsh_pairs,
     )
 
-    docs = _neardup_assembled(spark, sf_dir).localCheckpoint(eager=True)
+    docs = docs.localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(docs.select("doc_id", "text"), num_hashes=16,
                               bands=8, k=3, jaccard_threshold=0.5,
                               family="md5")
+    lengths = (docs.select("doc_id",
+                           F.length("text").cast("long").alias("doc_len"))
+               if keep_longest else None)
     return (
-        docs.join(canonical_drop_ids(pairs), "doc_id", "left_anti")
+        docs.join(canonical_drop_ids(pairs, lengths=lengths),
+                  "doc_id", "left_anti")
         .select("doc_id", "conv_id", F.md5("text").alias("doc_md5"))
     )
 

@@ -673,7 +673,13 @@ def canonical_drop_ids(pairs: DataFrame,
 
     Scale shape: the cluster frame holds only documents that appear in a
     near-dup pair (sparse at real duplicate rates); the length join and the
-    per-cluster argmin are over that sparse set, never the corpus.
+    per-cluster argmin are over that sparse set, never the corpus (verified:
+    both plan as BroadcastHashJoin at contract scale).  The returned drop set
+    is deliberately NOT broadcast-hinted for the consumer's anti-join: AQE
+    converts the exchange to a broadcast join at runtime whenever the drop
+    set is actually small, while at web-corpus dup volumes (30-50% of 10^12
+    docs) the drop set itself is shuffle-sized and the sort-merge anti-join
+    is the correct plan — a static hint would pick wrong at one end.
     """
     clusters = duplicate_clusters(pairs)
     if lengths is None:
