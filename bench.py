@@ -285,6 +285,20 @@ def main() -> None:
     timings["stream_parity_source"] = round(time.perf_counter() - t0, 3)
     spark.catalog.clearCache()
 
+    # The assembled-plant corpus artifacts (the persisted assembled table the
+    # conversation near-dup rows fan out from) are charged explicitly too —
+    # one kernel+assembly pass per plant kind, consumed by conv_neardup,
+    # conv_neardup_canonical and conv_neardup_keep_longest.
+    from ocr_engine_spark.operators.conversations import (
+        materialized_planted_assembled,
+    )
+
+    t0 = time.perf_counter()
+    for _kind in ("truncated", "extended"):
+        materialized_planted_assembled(spark, sf_dir, _kind)
+    timings["conv_asm_artifacts"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+
     # Per-query wall time = BEST OF 2 back-to-back reps: this shared VM drifts
     # 4-6x on single-shot readings (BENCH/dedup_regression.md pinned exactly
     # that for r03), and the second rep also amortizes one-time plan analysis.
