@@ -32,7 +32,12 @@ from ocr_engine_spark.operators.dedup import (  # noqa: E402
     PLANT_MOD, PLANT_OFFSET, PLANT_RESIDUE,
 )
 from ocr_engine_spark.operators.similarity import (  # noqa: E402
-    TWIN_MOD, TWIN_OFFSET, TWIN_RESIDUE,
+    BENCH_MOD, BENCH_RESIDUE, DECONTAM_THRESHOLD, LEAK_OFFSET, TWIN_MOD,
+    TWIN_OFFSET, TWIN_RESIDUE,
+)
+from ocr_engine_spark.operators.text_analysis import (  # noqa: E402
+    BLOCKED_DOMAINS, DOMAIN_MOD, LM_HEAD_MAX_OOV, LM_MID_MAX_OOV, LM_MIN_COUNT,
+    LM_REF_MOD, LM_REF_RESIDUE,
 )
 
 
@@ -50,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # — new / changed in r05 —
+        "lm_quality": text_analysis.q_lm_quality,
+        "semantic_decontam": similarity.q_semantic_decontam,
+        "domain_filter": text_analysis.q_domain_filter,
         "paragraph_dedup": dedup.q_paragraph_dedup,
         "boilerplate_strip": dedup.q_boilerplate_strip,
         "conv_neardup": conversations.q_conv_neardup,
@@ -384,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
     cos_qc = _COSINE.format(a="q.emb", b="c.emb")
     cos_ab = _COSINE.format(a="a.emb", b="b.emb")
     cos_vc = _COSINE.format(a="v.emb", b="c.emb")
+    cos_cb = _COSINE.format(a="c.emb", b="b.emb")
     km = _kmeans_ctes()
     return {
         "extract_documents": """
@@ -1123,6 +1132,53 @@ def oracle_sql() -> dict[str, str]:
             FROM ex JOIN bench USING (shingle)
             WHERE doc_id % 50 != 7 GROUP BY doc_id
         """,
+        # CCNet-style bigram-LM quality buckets: model = min-count-pruned bigram
+        # counts from the held-in slice; scores are single divisions of exact
+        # int64 sums (the tfidf integer-exact convention — no ln())
+        "lm_quality": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     [concat_ws(' ', tk[CAST(i AS INTEGER)],
+                        tk[CAST(i+1 AS INTEGER)])
+                       for i in generate_series(1, greatest(len(tk) - 1, 1))]
+                       AS bgs
+              FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(bgs) AS bigram FROM sh),
+            model AS (
+              SELECT bigram, count(*) AS c FROM ex
+              WHERE doc_id % {LM_REF_MOD} = {LM_REF_RESIDUE}
+              GROUP BY bigram HAVING count(*) >= {LM_MIN_COUNT}),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov,
+                     CAST(coalesce(sum(c), 0) AS BIGINT) AS ref_mass
+              FROM ex LEFT JOIN model USING (bigram)
+              WHERE doc_id % {LM_REF_MOD} != {LM_REF_RESIDUE}
+              GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, n_oov, ref_mass,
+                   n_oov / n_bigrams AS oov_rate,
+                   ref_mass / n_bigrams AS familiarity,
+                   CASE WHEN n_oov / n_bigrams <= {LM_HEAD_MAX_OOV} THEN 'head'
+                        WHEN n_oov / n_bigrams <= {LM_MID_MAX_OOV} THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM per_doc
+        """,
+        # URL plant -> domain parse -> blocklist anti-join (regex subset with
+        # identical Java/RE2 semantics, as pii_redact)
+        "domain_filter": f"""
+            WITH p AS (
+              SELECT doc_id, n_chars,
+                     regexp_extract(
+                       coalesce(text, '') || ' http://d'
+                            || CAST(doc_id % {DOMAIN_MOD} AS VARCHAR)
+                            || '.example/p/' || CAST(doc_id AS VARCHAR),
+                       'https?://([A-Za-z0-9.-]+)/', 1) AS domain
+              FROM documents)
+            SELECT doc_id, domain, n_chars FROM p
+            WHERE domain NOT IN ({", ".join(repr(d) for d in BLOCKED_DOMAINS)})
+        """,
         # md5-hash deterministic per-source sampling (reproducible data mixing)
         # data mixing: reweight the corpus to target source shares under a
         # 40%-of-corpus budget — per-source quota floor(budget * w / wsum),
@@ -1374,6 +1430,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_a, id_b, {cos_ab} AS score
               FROM cand JOIN ec a ON a.vec_id = id_a JOIN ec b ON b.vec_id = id_b)
             WHERE score >= 0.9
+        """,
+        # semantic decontamination: per-corpus-vector nearest benchmark item
+        # (window rank=1 == Spark's max(struct(score, -bench_id)) total order);
+        # leaks planted with the exact-in-IEEE halving construction
+        "semantic_decontam": f"""
+            WITH e AS ({_EMB}),
+            bench AS (
+              SELECT vec_id AS bench_id, emb FROM e
+              WHERE vec_id % {BENCH_MOD} = {BENCH_RESIDUE}),
+            corpus AS (
+              SELECT vec_id, emb FROM e
+              WHERE vec_id % {BENCH_MOD} != {BENCH_RESIDUE}
+              UNION ALL
+              SELECT vec_id + {LEAK_OFFSET} AS vec_id,
+                     [x * 0.5 for x in emb] AS emb
+              FROM e WHERE vec_id % {BENCH_MOD} = {BENCH_RESIDUE}),
+            s AS (
+              SELECT c.vec_id, b.bench_id, {cos_cb} AS score
+              FROM corpus c CROSS JOIN bench b),
+            r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, bench_id) AS rk FROM s)
+            SELECT vec_id, bench_id, score,
+                   CAST(CASE WHEN score >= {DECONTAM_THRESHOLD} THEN 1 ELSE 0
+                        END AS INTEGER) AS contaminated
+            FROM r WHERE rk = 1
         """,
         "binary_features": """
             SELECT doc_id AS media_id,

@@ -444,3 +444,135 @@ def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load(spark, sf_dir, "documents"), budget=512)
+
+
+# --- n-gram LM quality (CCNet-style) -----------------------------------------
+
+# reference-slice selector + min-count prune for the bigram model; bucket
+# cutpoints fit the synthetic corpus so all three buckets are non-empty at
+# sf0.01 AND sf0.1 (the model trains on 10x data at sf0.1, so OOV rates drop)
+LM_REF_MOD = 5
+LM_REF_RESIDUE = 0
+LM_MIN_COUNT = 2
+LM_HEAD_MAX_OOV = 0.005
+LM_MID_MAX_OOV = 0.03
+
+
+def lm_quality(docs: DataFrame, ref_residue: int = LM_REF_RESIDUE,
+               modulus: int = LM_REF_MOD,
+               min_count: int = LM_MIN_COUNT) -> DataFrame:
+    """CCNet-style n-gram language-model quality bucketing: train a word-bigram
+    count model on a held-in reference slice (``doc_id % modulus ==
+    ref_residue``), score every other document by how familiar its bigrams are
+    to the model, and bucket into head / middle / tail.
+
+    This is the LM-perplexity filter of CCNet/RefinedWeb re-expressed with
+    INTEGER-EXACT arithmetic (the q_tfidf convention): instead of summed
+    ``ln(p)`` — whose libm last-ULP differences would break cross-engine
+    value-hashing — the score is the out-of-vocabulary bigram rate plus a
+    mean-reference-count familiarity, each a SINGLE division of exact int64
+    sums (bit-identical IEEE in Spark and DuckDB).  Monotone in the same
+    signal a smoothed bigram perplexity orders by.
+
+    Plan shape: one explode -> one map-side-combinable count on bigram (the
+    model; ``min_count`` pruning bounds it by construction), broadcast join of
+    the pruned model against the corpus bigram stream, then one
+    map-side-combinable per-doc aggregation — the shuffle carries one row per
+    (doc, task), never the bigram stream.  At 100 TB with an unbounded-vocab
+    model the broadcast becomes a shuffle hash join on bigram followed by the
+    same per-doc re-agg (the tfidf two-shuffle shape); min-count pruning keeps
+    the model side orders of magnitude below the corpus either way.
+
+    Reference stake: the E3/E4 detection + scoring composition
+    (/root/reference/src/utils.py score-threshold gate) lifted to corpus
+    statistics — score, then gate on the score, as a declarative plan.
+
+    Every doc appears in the output: the ``_shingle_sql`` floor of
+    ``greatest(n_tokens - 1, 1)`` gives empty/one-token docs a single
+    (typically OOV) shingle, identically in both engines.  NULL text is
+    coalesced to '' first — Spark's ``explode(split(NULL))`` would drop the
+    row, while DuckDB's ``greatest`` skips NULLs and emits the empty shingle;
+    the coalesce pins both engines to the latter.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ocr_engine_spark.operators.dedup import _shingle_array
+
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    bg = docs.withColumn("sh", _shingle_array(k=2)).select(
+        "doc_id", F.explode("sh").alias("bigram"))
+    model = (
+        bg.where(F.col("doc_id") % modulus == ref_residue)
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count))
+    corpus = bg.where(F.col("doc_id") % modulus != ref_residue)
+    per_doc = (
+        corpus.join(broadcast(model), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+             .alias("n_oov"),
+             F.coalesce(F.sum("c"), F.lit(0)).alias("ref_mass")))
+    oov = F.col("n_oov").cast("double") / F.col("n_bigrams").cast("double")
+    fam = F.col("ref_mass").cast("double") / F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        "doc_id", "n_bigrams", "n_oov", "ref_mass",
+        oov.alias("oov_rate"), fam.alias("familiarity"),
+        F.when(oov <= LM_HEAD_MAX_OOV, "head")
+        .when(oov <= LM_MID_MAX_OOV, "middle")
+        .otherwise("tail").alias("bucket"))
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_quality(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# --- URL/domain blocklist filter ----------------------------------------------
+
+# deterministic URL plant (the raw corpus carries no URLs) + the blocked-domain
+# list: domains d<i>.example with i % 7 == 3 for i in [0, DOMAIN_MOD)
+DOMAIN_MOD = 37
+BLOCKED_DOMAINS = tuple(
+    f"d{i}.example" for i in range(DOMAIN_MOD) if i % 7 == 3)
+_URL_RE = r"https?://([A-Za-z0-9.-]+)/"
+
+
+def domain_filter(docs: DataFrame) -> DataFrame:
+    """URL-blocklist filtering — the domain-level cleaning stage every web
+    pretraining pipeline (C4, RefinedWeb) runs before content filters.
+
+    URLs are planted deterministically (each doc gets
+    ``http://d<doc_id % 37>.example/p/<doc_id>`` appended; the synthetic corpus
+    has none), the domain is parsed back out with a regex whose semantics are
+    identical in Java regex and RE2/DuckDB, and docs whose domain sits on the
+    blocklist are dropped by a broadcast anti-join (blocklists are bounded:
+    curated, human-size).  Survivors keep (doc_id, domain, n_chars).
+
+    Plan shape: one scan, one regexp_extract, one broadcast anti-join — no
+    shuffle of the corpus at any scale.  Reference stake: the F1
+    include/exclude manifest filter (/root/reference/run.py:100-101) with the
+    filter key COMPUTED from document content instead of declared.
+    """
+    spark = docs.sparkSession
+    from pyspark.sql.functions import broadcast
+
+    blocked = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], "domain string")
+    # coalesce first: concat null-propagates in BOTH engines, and a NULL
+    # payload would then diverge (Spark's anti-join keeps a NULL domain, the
+    # oracle's NOT IN drops it) — with '' the planted URL is unconditional
+    payload = F.concat(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" http://d"),
+        (F.col("doc_id") % DOMAIN_MOD).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"))
+    with_domain = docs.select(
+        "doc_id", "n_chars",
+        F.regexp_extract(payload, _URL_RE, 1).alias("domain"))
+    return (
+        with_domain.join(broadcast(blocked), "domain", "left_anti")
+        .select("doc_id", "domain", "n_chars"))
+
+
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_filter(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"))
