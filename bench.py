@@ -99,6 +99,9 @@ HEADLINE = [
     "conv_neardup_canonical",
     "conv_neardup_keep_longest",
     "pipeline_e2e",
+    "lm_quality",
+    "semantic_decontam",
+    "domain_filter",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)

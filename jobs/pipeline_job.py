@@ -14,6 +14,11 @@ the ``pipeline_e2e`` contract row), over a transcript table:
                                  cannot; the conv_neardup_canonical contract
                                  row run as a pipeline stage, with the
                                  content-aware canonical rule production needs)
+    -> [--quality-filter]       (CCNet-style bigram-LM gate: a hashed held-in
+                                 slice trains the min-count-pruned model;
+                                 documents whose OOV-bigram rate exceeds
+                                 --quality-max-oov drop — the lm_quality
+                                 contract row run as a pipeline stage)
     -> pack_sequences           (greedy token packing into training sequences)
 
 Cluster launch (the reference CLI lifecycle, /root/reference/run.py:24-45,
@@ -59,7 +64,8 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
                  checkpoint_extraction: bool = False, n_buckets: int = 32,
                  salt_block: int = 64, wave_buckets: int | None = None,
                  near_dedup: bool = False, near_threshold: float = 0.5,
-                 cfg=None) -> dict:
+                 quality_filter: bool = False, quality_max_oov: float = 0.98,
+                 quality_ref_mod: int = 20, cfg=None) -> dict:
     """The composable core (the CLI below is a thin wrapper).  Returns a
     summary dict with per-stage counts.
 
@@ -142,6 +148,32 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
                     .localCheckpoint(eager=True))
             n_near = drop.count()
             surv = surv.join(drop, "conv_id", "left_anti")
+        n_lowq = None
+        if quality_filter:
+            # CCNet-style bigram-LM quality gate over the deduped corpus
+            # (dedup first, so duplicate families don't vote their own
+            # bigrams into the model): a deterministic hashed held-in slice
+            # (1/quality_ref_mod of conversations) trains the min-count-
+            # pruned model; documents whose OOV-bigram rate exceeds
+            # --quality-max-oov drop.  Reference-slice documents are not
+            # scored and always survive — the slice is the model's
+            # definition of typical, not a sample under test.  Cost: one
+            # extra pass over the assembled frame (explode -> two map-side-
+            # combinable aggs; the shuffle never carries the bigram stream).
+            from ocr_engine_spark.operators.text_analysis import (
+                lm_quality_scored,
+            )
+
+            scored = lm_quality_scored(surv.select(
+                F.col("conv_id").alias("doc_id"),
+                F.col("doc_text").alias("text"),
+                (F.pmod(F.xxhash64("conv_id"), F.lit(quality_ref_mod)) == 0)
+                .alias("is_ref")))
+            lowq = (scored.where(F.col("oov_rate") > quality_max_oov)
+                    .select(F.col("doc_id").alias("conv_id"))
+                    .localCheckpoint(eager=True))
+            n_lowq = lowq.count()
+            surv = surv.join(lowq, "conv_id", "left_anti")
         # packing carries conv_id + doc_text THROUGH the grouped map (no
         # numeric surrogate key, no join-back): conv_id is unique, so the
         # per-shard sort is a total order and the output is deterministic
@@ -188,13 +220,15 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
                 "conversations": n_convs,
                 "survivors": stats["n_docs"],
                 "dropped_duplicates": (n_convs - stats["n_docs"]
-                                       - (n_near or 0)),
+                                       - (n_near or 0) - (n_lowq or 0)),
                 "sequences": stats["n_sequences"],
                 "tokens": int(stats["n_tokens"] or 0),
                 "data_path": data_path,
             }
             if n_near is not None:
                 summary["dropped_near_duplicates"] = n_near
+            if n_lowq is not None:
+                summary["dropped_low_quality"] = n_lowq
         finally:
             out.unpersist()
     finally:
@@ -237,6 +271,18 @@ def main() -> None:
                          " tie-break min conv_id)")
     ap.add_argument("--near-threshold", type=float, default=0.5,
                     help="verified-Jaccard threshold for --near-dedup")
+    ap.add_argument("--quality-filter", action="store_true",
+                    help="after dedup, drop documents whose OOV-bigram rate "
+                         "against a hashed held-in LM slice exceeds "
+                         "--quality-max-oov (CCNet-style quality gate)")
+    ap.add_argument("--quality-max-oov", type=float, default=0.98,
+                help="drop documents whose OOV-bigram rate exceeds this; the\n"
+                     "default drops only near-zero-overlap garbage — calibrate\n"
+                     "per corpus (measured transcript corpora score 0.5-0.96\n"
+                     "against a 1/20 hashed slice; gibberish scores 1.0)")
+    ap.add_argument("--quality-ref-mod", type=int, default=20,
+                    help="1/N of conversations (by xxhash64) train the "
+                         "bigram model")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[N] cores; 0 = use existing/spark-submit session")
     args = ap.parse_args()
@@ -258,7 +304,10 @@ def main() -> None:
         checkpoint_extraction=args.checkpoint_extraction,
         n_buckets=args.n_buckets, salt_block=args.salt_block,
         wave_buckets=args.wave_buckets,
-        near_dedup=args.near_dedup, near_threshold=args.near_threshold)
+        near_dedup=args.near_dedup, near_threshold=args.near_threshold,
+        quality_filter=args.quality_filter,
+        quality_max_oov=args.quality_max_oov,
+        quality_ref_mod=args.quality_ref_mod)
     print(json.dumps(summary))
     spark.stop()
 

@@ -458,13 +458,15 @@ LM_HEAD_MAX_OOV = 0.005
 LM_MID_MAX_OOV = 0.03
 
 
-def lm_quality(docs: DataFrame, ref_residue: int = LM_REF_RESIDUE,
-               modulus: int = LM_REF_MOD,
-               min_count: int = LM_MIN_COUNT) -> DataFrame:
-    """CCNet-style n-gram language-model quality bucketing: train a word-bigram
-    count model on a held-in reference slice (``doc_id % modulus ==
-    ref_residue``), score every other document by how familiar its bigrams are
-    to the model, and bucket into head / middle / tail.
+def lm_quality_scored(docs: DataFrame,
+                      min_count: int = LM_MIN_COUNT) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring over a frame carrying
+    (doc_id, text, is_ref boolean): train a word-bigram count model on the
+    ``is_ref`` rows, score every other document by how familiar its bigrams
+    are to the model, and bucket into head / middle / tail.  ``lm_quality``
+    (the contract row) derives ``is_ref`` from a doc_id residue; the pipeline
+    job derives it from ``xxhash64(conv_id)`` — any deterministic held-in
+    slice works.
 
     This is the LM-perplexity filter of CCNet/RefinedWeb re-expressed with
     INTEGER-EXACT arithmetic (the q_tfidf convention): instead of summed
@@ -500,12 +502,12 @@ def lm_quality(docs: DataFrame, ref_residue: int = LM_REF_RESIDUE,
 
     docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     bg = docs.withColumn("sh", _shingle_array(k=2)).select(
-        "doc_id", F.explode("sh").alias("bigram"))
+        "doc_id", "is_ref", F.explode("sh").alias("bigram"))
     model = (
-        bg.where(F.col("doc_id") % modulus == ref_residue)
+        bg.where(F.col("is_ref"))
         .groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= min_count))
-    corpus = bg.where(F.col("doc_id") % modulus != ref_residue)
+    corpus = bg.where(~F.col("is_ref"))
     per_doc = (
         corpus.join(broadcast(model), "bigram", "left")
         .groupBy("doc_id")
@@ -521,6 +523,17 @@ def lm_quality(docs: DataFrame, ref_residue: int = LM_REF_RESIDUE,
         F.when(oov <= LM_HEAD_MAX_OOV, "head")
         .when(oov <= LM_MID_MAX_OOV, "middle")
         .otherwise("tail").alias("bucket"))
+
+
+def lm_quality(docs: DataFrame, ref_residue: int = LM_REF_RESIDUE,
+               modulus: int = LM_REF_MOD,
+               min_count: int = LM_MIN_COUNT) -> DataFrame:
+    """``lm_quality_scored`` with the contract row's reference slice:
+    ``doc_id % modulus == ref_residue``."""
+    return lm_quality_scored(
+        docs.withColumn("is_ref",
+                        F.col("doc_id") % modulus == ref_residue),
+        min_count=min_count)
 
 
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

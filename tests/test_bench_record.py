@@ -49,3 +49,16 @@ def test_compact_line_drops_queries_rather_than_truncate():
 
 def test_compact_line_is_single_line():
     assert "\n" not in _compact_line(_result(64))
+
+
+def test_headline_covers_every_contract_query():
+    """Every queries() entry is benched: a contract row added without a
+    HEADLINE row silently vanishes from the cross-round perf record (this
+    caught nothing for r01-r05 only by manual discipline)."""
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    missing = set(entrymod.queries()) - set(HEADLINE)
+    assert not missing, f"queries missing from bench HEADLINE: {missing}"
+    unknown = set(HEADLINE) - set(entrymod.queries())
+    assert not unknown, f"HEADLINE rows with no queries() entry: {unknown}"

@@ -181,3 +181,42 @@ def test_resume_with_changed_dispatch_raises(spark, corpus, tmp_path):
         run_pipeline(spark, df, out, run_id="t11", char_budget=100_000,
                      seq_budget=256, shards=2, checkpoint_extraction=True,
                      n_buckets=4, dispatch_tool_json=True)
+
+def test_quality_filter_drops_gibberish(spark, corpus, tmp_path):
+    """--quality-filter: conversations whose text shares no bigrams with the
+    corpus (planted gibberish with per-conv unique tokens) exceed the OOV
+    threshold against the hashed held-in LM slice and drop; every normal
+    conversation (generator vocabulary, shared across convs) survives.  The
+    gibberish conv_ids are chosen so none lands in the reference slice — a
+    reference document is the model's definition of typical and is never
+    scored."""
+    df, n_base, n_dup = corpus
+    ref_mod = 3
+    candidates = [f"garbage_{i}" for i in range(12)]
+    hashes = dict(
+        spark.createDataFrame([(c,) for c in candidates], "conv_id string")
+        .select("conv_id", F.pmod(F.xxhash64("conv_id"), F.lit(ref_mod))
+                .alias("h")).collect())
+    non_ref = [c for c in candidates if hashes[c] != 0][:3]
+    assert len(non_ref) == 3
+    gibberish = spark.createDataFrame(
+        [(cid, t, "user",
+          " ".join(f"zzq{cid[-1]}x{t}w{j}" for j in range(12)), None, None)
+         for cid in non_ref for t in range(4)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    full = df.unionByName(gibberish)
+
+    off = run_pipeline(spark, full, str(tmp_path / "q_off"), run_id="t20",
+                       char_budget=100_000, seq_budget=256, shards=4)
+    assert off["survivors"] == n_base + len(non_ref)
+    assert "dropped_low_quality" not in off
+
+    on = run_pipeline(spark, full, str(tmp_path / "q_on"), run_id="t21",
+                      char_budget=100_000, seq_budget=256, shards=4,
+                      quality_filter=True, quality_ref_mod=ref_mod)
+    assert on["dropped_low_quality"] == len(non_ref)
+    assert on["dropped_duplicates"] == n_dup
+    assert on["survivors"] == n_base
+    out = spark.read.parquet(on["data_path"])
+    assert out.where(F.col("conv_id").startswith("garbage_")).count() == 0
