@@ -36,8 +36,8 @@ from ocr_engine_spark.operators.similarity import (  # noqa: E402
     TWIN_OFFSET, TWIN_RESIDUE,
 )
 from ocr_engine_spark.operators.text_analysis import (  # noqa: E402
-    BLOCKED_DOMAINS, DOMAIN_MOD, LM_HEAD_MAX_OOV, LM_MID_MAX_OOV, LM_MIN_COUNT,
-    LM_REF_MOD, LM_REF_RESIDUE,
+    _URL_RE, BLOCKED_DOMAINS, DOMAIN_MOD, LM_HEAD_MAX_OOV, LM_MID_MAX_OOV,
+    LM_MIN_COUNT, LM_REF_MOD, LM_REF_RESIDUE,
 )
 
 
@@ -1174,7 +1174,7 @@ def oracle_sql() -> dict[str, str]:
                        coalesce(text, '') || ' http://d'
                             || CAST(doc_id % {DOMAIN_MOD} AS VARCHAR)
                             || '.example/p/' || CAST(doc_id AS VARCHAR),
-                       'https?://([A-Za-z0-9.-]+)/', 1) AS domain
+                       '{_URL_RE}', 1) AS domain
               FROM documents)
             SELECT doc_id, domain, n_chars FROM p
             WHERE domain NOT IN ({", ".join(repr(d) for d in BLOCKED_DOMAINS)})

@@ -356,24 +356,40 @@ def main() -> None:
 
 def _compact_line(result: dict, budget: int = 1900) -> str:
     """Contract record guaranteed under ``budget`` bytes: round query timings
-    progressively (2dp -> 1dp), then as a last resort drop per-query timings
-    (they still live on the detail line and in query_history.jsonl)."""
-    for decimals in (2, 1):
-        compact = {
+    progressively (2dp -> 1dp), then keep only the SLOWEST timings that fit
+    (the informative tail — the full map still lives on the detail line and
+    in query_history.jsonl), recorded with a ``_dropped`` count so a partial
+    map can never be mistaken for the whole surface."""
+    def render(queries: dict) -> str:
+        return json.dumps({
             "metric": result["metric"], "value": result["value"],
-            "unit": result["unit"],
-            "queries": {k: round(v, decimals)
-                        for k, v in result["queries"].items()},
+            "unit": result["unit"], "queries": queries,
             "sf": result["sf"], "cpus": result["cpus"],
             "extraction": result["extraction"],
             "extraction_steady": result["extraction_steady"],
             "canary": result.get("canary"),
-        }
-        line = json.dumps(compact, separators=(",", ":"))
+        }, separators=(",", ":"))
+
+    for decimals in (2, 1):
+        rounded = {k: round(v, decimals)
+                   for k, v in result["queries"].items()}
+        line = render(rounded)
         if len(line) <= budget:
             return line
-    compact["queries"] = {"_see": "detail line / BENCH/query_history.jsonl"}
-    return json.dumps(compact, separators=(",", ":"))
+    # keep the slowest rows that fit; binary-search the cutoff count
+    ranked = sorted(rounded.items(), key=lambda kv: (-kv[1], kv[0]))
+    lo, hi = 0, len(ranked)  # lo = always fits, hi+1 = never
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        kept = dict(ranked[:mid])
+        kept["_dropped"] = len(ranked) - mid
+        if len(render(kept)) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    kept = dict(ranked[:lo])
+    kept["_dropped"] = len(ranked) - lo
+    return render(kept)
 
 
 def _append_history(result: dict, raw_reps: dict | None = None) -> None:

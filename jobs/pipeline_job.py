@@ -164,11 +164,28 @@ def run_pipeline(spark, transcripts, out_dir: str, run_id: str,
                 lm_quality_scored,
             )
 
+            if quality_ref_mod < 2:
+                # mod 1 marks EVERY document as reference (nothing scored,
+                # the gate silently no-ops); mod <= 0 makes pmod() NULL
+                # (is_ref NULL everywhere — no model AND no corpus)
+                raise ValueError(
+                    f"--quality-ref-mod must be >= 2, got {quality_ref_mod}")
+            is_ref = (F.pmod(F.xxhash64("conv_id"),
+                             F.lit(quality_ref_mod)) == 0)
+            # guard the degenerate hashed slice: with zero reference docs
+            # the model is empty, every document scores oov_rate 1.0, and
+            # the gate would silently drop the ENTIRE corpus — fail loudly
+            # instead (one cheap agg over the per-conversation frame)
+            if surv.where(is_ref).limit(1).count() == 0:
+                raise ValueError(
+                    "--quality-filter reference slice is empty (no conv_id "
+                    f"hashes to 0 mod {quality_ref_mod}); lower "
+                    "--quality-ref-mod so the bigram model has training "
+                    "documents")
             scored = lm_quality_scored(surv.select(
                 F.col("conv_id").alias("doc_id"),
                 F.col("doc_text").alias("text"),
-                (F.pmod(F.xxhash64("conv_id"), F.lit(quality_ref_mod)) == 0)
-                .alias("is_ref")))
+                is_ref.alias("is_ref")))
             lowq = (scored.where(F.col("oov_rate") > quality_max_oov)
                     .select(F.col("doc_id").alias("conv_id"))
                     .localCheckpoint(eager=True))

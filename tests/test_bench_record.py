@@ -39,12 +39,30 @@ def test_compact_line_fits_tail_capture_at_contract_scale():
 
 def test_compact_line_drops_queries_rather_than_truncate():
     # pathological surface (hundreds of long-named queries): the budget must
-    # hold by DROPPING per-query timings, never by emitting a cut-off line
+    # hold by dropping the FASTEST per-query timings (keeping the slowest,
+    # most informative rows + an explicit _dropped count), never by emitting
+    # a cut-off line
     line = _compact_line(_result(400, name_len=40))
     assert len(line) <= 1900
     rec = json.loads(line)  # still complete JSON
-    assert rec["queries"] == {"_see": "detail line / BENCH/query_history.jsonl"}
+    qs = rec["queries"]
+    dropped = qs.pop("_dropped")
+    assert dropped == 400 - len(qs) > 0
+    # the kept rows are exactly the slowest ones (values ascend with index
+    # in _result, so the kept set is the top of the range)
+    kept_vals = sorted(qs.values())
+    # everything faster was dropped (values are 1.2345678+i rounded to 1dp)
+    assert kept_vals[0] >= round(1.2345678 + dropped, 1)
     assert rec["value"] == 123.456789
+
+
+def test_compact_line_partial_map_keeps_slowest_first():
+    # a surface just over budget: most rows survive, _dropped is small
+    line = _compact_line(_result(90, name_len=24))
+    rec = json.loads(line)
+    qs = rec["queries"]
+    dropped = qs.pop("_dropped", 0)
+    assert len(qs) + dropped == 90 and len(qs) > 40
 
 
 def test_compact_line_is_single_line():

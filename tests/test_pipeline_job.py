@@ -220,3 +220,25 @@ def test_quality_filter_drops_gibberish(spark, corpus, tmp_path):
     assert on["survivors"] == n_base
     out = spark.read.parquet(on["data_path"])
     assert out.where(F.col("conv_id").startswith("garbage_")).count() == 0
+
+def test_quality_filter_degenerate_slice_raises(spark, corpus, tmp_path):
+    """An empty hashed reference slice would train an empty model and
+    silently drop the ENTIRE corpus (every doc scores oov_rate 1.0); the
+    stage must fail loudly instead.  ref_mod < 2 (gate no-ops / NULL is_ref)
+    is rejected up front."""
+    df, _, _ = corpus
+    convs = [r[0] for r in df.select("conv_id").distinct().collect()]
+    hashed = dict(
+        spark.createDataFrame([(c,) for c in convs], "conv_id string")
+        .select("conv_id", F.xxhash64("conv_id").alias("h")).collect())
+    empty_mod = next(m for m in range(40, 200)
+                     if all(h % m != 0 for h in hashed.values()))
+
+    with pytest.raises(ValueError, match="reference slice is empty"):
+        run_pipeline(spark, df, str(tmp_path / "q_empty"), run_id="t22",
+                     char_budget=100_000, seq_budget=256, shards=4,
+                     quality_filter=True, quality_ref_mod=empty_mod)
+    with pytest.raises(ValueError, match="must be >= 2"):
+        run_pipeline(spark, df, str(tmp_path / "q_mod1"), run_id="t23",
+                     char_budget=100_000, seq_budget=256, shards=4,
+                     quality_filter=True, quality_ref_mod=1)
