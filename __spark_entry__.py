@@ -39,6 +39,9 @@ from ocr_engine_spark.operators.text_analysis import (  # noqa: E402
     _URL_RE, BLOCKED_DOMAINS, DOMAIN_MOD, LM_HEAD_MAX_OOV, LM_MID_MAX_OOV,
     LM_MIN_COUNT, LM_REF_MOD, LM_REF_RESIDUE,
 )
+from ocr_engine_spark.streaming.stream import (  # noqa: E402
+    WINDOW_SPREAD_MIN,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -65,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_neardup_keep_longest": conversations.q_conv_neardup_keep_longest,
         "kind_dispatch_extract": documents.q_kind_dispatch_extract,
         "pipeline_e2e": conversations.q_pipeline_e2e,
+        "stream_window_parity": streaming_mod.q_stream_window_parity,
         # — never driver-checked before r04 / changed in r04 —
         "conv_assemble": conversations.q_conv_assemble,
         "conv_dedup": conversations.q_conv_dedup,
@@ -649,6 +653,23 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % {PLANT_MOD} = {PLANT_RESIDUE})
             SELECT md5(text) AS text_md5, CAST(1 AS INTEGER) AS n_rows
             FROM corpus GROUP BY md5(text)
+        """,
+        # windowed-rollup streaming parity: replay the spread-timestamp
+        # single-turn construction (WINDOW_TS_SQL) and the 1-hour tumbling
+        # aggregation batch-side; spans replays the plain-route kernel count
+        # (the extract_documents oracle's 0/1 CASE)
+        "stream_window_parity": f"""
+            WITH tx AS (
+              SELECT TIMESTAMP '2026-01-01 00:00:00'
+                       + INTERVAL (CAST(doc_id % {WINDOW_SPREAD_MIN}
+                                        AS INTEGER)) MINUTE AS ts,
+                     text
+              FROM documents)
+            SELECT date_trunc('hour', ts) AS win_start,
+                   count(*) AS turns,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE 1
+                            END) AS BIGINT) AS spans
+            FROM tx GROUP BY 1
         """,
         # S1 polymorphic declared-kind dispatch (tool value -> parser table):
         # doc_id % 4 picks payload format + declaring tool value; all four

@@ -102,6 +102,7 @@ HEADLINE = [
     "lm_quality",
     "semantic_decontam",
     "domain_filter",
+    "stream_window_parity",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)
@@ -286,6 +287,15 @@ def main() -> None:
     t0 = time.perf_counter()
     ensure_stream_parity_source(spark, sf_dir)
     timings["stream_parity_source"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+
+    # the spread-timestamp source the windowed-rollup parity row replays,
+    # charged explicitly for the same reason
+    from ocr_engine_spark.streaming.stream import ensure_stream_window_source
+
+    t0 = time.perf_counter()
+    ensure_stream_window_source(spark, sf_dir)
+    timings["stream_window_source"] = round(time.perf_counter() - t0, 3)
     spark.catalog.clearCache()
 
     # The assembled-plant corpus artifacts (the persisted assembled table the

@@ -171,18 +171,22 @@ def _schema_with_ts():
 _STREAM_PARITY_DIRS: dict[tuple, str] = {}
 
 
-def _single_turn_shape(docs, conv_id_col):
+def _single_turn_shape(docs, conv_id_col, ts_col=None):
     """documents rows -> the six-column transcript shape (input_hint) as one
     single-turn conversation per document; ONE definition of the literal shape
     so base and planted branches (and any future caller) cannot drift from
-    what read_transcript_stream's TRANSCRIPTS_DDL expects."""
+    what read_transcript_stream's TRANSCRIPTS_DDL expects.  ``ts_col``
+    overrides the constant event time (the window-parity source spreads
+    events over hours)."""
+    if ts_col is None:
+        ts_col = F.expr("timestamp'2026-01-01 00:00:00'")
     return docs.select(
         conv_id_col.cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.col("text"),
         F.lit(None).cast("string").alias("tool"),
-        F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"),
+        ts_col.alias("ts"),
     )
 
 
@@ -254,3 +258,82 @@ def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).toPandas()
     spark.catalog.dropTempView(sink)
     return spark.createDataFrame(grouped, "text_md5 string, n_rows int")
+
+
+_STREAM_WINDOW_DIRS: dict[tuple, str] = {}
+
+# event-time spread for the window-parity source: doc_id % SPREAD minutes past
+# a fixed origin -> 4 distinct event-time hours at any scale factor
+WINDOW_SPREAD_MIN = 240
+WINDOW_TS_SQL = ("timestamp'2026-01-01 00:00:00'"
+                 f" + make_dt_interval(0, 0, doc_id % {WINDOW_SPREAD_MIN}, 0)")
+
+
+def ensure_stream_window_source(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize (once per process per corpus mtime) the multi-file
+    transcripts directory the windowed-rollup parity query replays: the
+    documents corpus as single-turn conversations with event times spread
+    over four hours (``doc_id % 240`` minutes past the origin), so tumbling
+    1-hour windows receive rows from MULTIPLE micro-batches in arbitrary
+    event-time order — the state-update path, not a one-batch fold."""
+    from ocr_engine_spark.operators.dedup import (
+        _table_mtime, artifact_tmpdir, evict_stale_artifacts)
+
+    cache_key = (sf_dir, _table_mtime(sf_dir, "documents"))
+    if cache_key not in _STREAM_WINDOW_DIRS:
+        evict_stale_artifacts(_STREAM_WINDOW_DIRS, cache_key)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = artifact_tmpdir("ocr_engine_stream_window_") + "/transcripts"
+        (_single_turn_shape(docs, F.col("doc_id"), ts_col=F.expr(WINDOW_TS_SQL))
+         .repartition(8).write.parquet(src))
+        _STREAM_WINDOW_DIRS[cache_key] = src
+    return _STREAM_WINDOW_DIRS[cache_key]
+
+
+def q_stream_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed-rollup parity, batch-comparable — the
+    second oracle-grade streaming row, covering the windowed-aggregation
+    surface (``metrics_window_stream``) the way ``q_stream_dedup_parity``
+    covers stateful dedup.
+
+    The synthesized spread-timestamp corpus replays THROUGH THE REAL
+    STREAMING PATH: incremental file source (2 files per trigger, so every
+    1-hour window accumulates across micro-batches), the extraction kernel
+    as a streaming ``mapInPandas`` stage, event-time tumbling windows, memory
+    sink, ``availableNow`` trigger.
+
+    Determinism choices, pinned deliberately:
+    - ``complete`` output mode + an effectively-infinite watermark: file
+      arrival order is not deterministic, so append-mode window finalization
+      (and late-row dropping) would make the emitted set depend on scheduling.
+      Complete mode reports every window's final state regardless of arrival
+      order; the late-data DROP policy is pinned separately by the streaming
+      unit tests (tests/test_streaming.py).
+    - the parity projection keeps the exact-integer aggregates (turns, spans)
+      and leaves ``strip_ratio`` (a float mean whose accumulation order is
+      engine-defined) to the row-wise extraction oracles.
+
+    CONTRACT-SCALE EVIDENCE ONLY: complete mode + memory sink hold
+    O(windows) driver state — fine for an hours-wide replay; the production
+    path is append mode with finalized windows to a checkpointed file sink
+    (jobs/stream_job.py), which holds only open-window state on executors."""
+    import uuid
+
+    src = ensure_stream_window_source(spark, sf_dir)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    win = metrics_window_stream(stream, watermark="30 days", window="1 hour")
+    sink = f"stream_window_{uuid.uuid4().hex[:12]}"
+    q = (
+        win.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(sink)
+        .select(F.col("win.start").alias("win_start"),
+                F.col("turns").cast("long").alias("turns"),
+                F.col("spans"))
+    ).toPandas()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        out, "win_start timestamp, turns bigint, spans bigint")

@@ -254,3 +254,45 @@ def test_session_metrics_stream_merges_by_gap(spark, stream_dir):
     assert all(r["turns"] >= 1 and r["last_turn"] >= r["first_turn"]
                for r in rows)
     assert len({r["conv_id"] for r in rows}) > 1
+
+
+def test_stream_window_parity_accumulates_across_batches(spark, tmp_path):
+    """q_stream_window_parity's core invariant at unit scale: every tumbling
+    window's final (turns, spans) equals the batch rollup even when each
+    window's rows arrive split across MULTIPLE micro-batches (files are
+    written so every file carries rows of every hour; one file per
+    trigger)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.streaming.stream import (
+        TRANSCRIPTS_DDL, metrics_window_stream,
+    )
+
+    rows = []
+    for f in range(3):                       # 3 files x 3 hours x 4 turns
+        for h in range(3):
+            for i in range(4):
+                rows.append({
+                    "conv_id": f"c{f}_{h}_{i}", "turn_idx": 0,
+                    "role": "user", "text": f"turn {f} {h} {i}",
+                    "tool": None,
+                    "ts": pd.Timestamp(f"2026-01-01 {h:02d}:{f*15+i:02d}:00")})
+    src = str(tmp_path / "tx")
+    for f in range(3):                       # one parquet file per slice
+        pdf = pd.DataFrame(rows[f * 12:(f + 1) * 12])
+        (spark.createDataFrame(pdf, schema=TRANSCRIPTS_DDL)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    win = metrics_window_stream(stream, watermark="30 days", window="1 hour")
+    q = (win.writeStream.format("memory").queryName("win_parity_t")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["win"]["start"].hour: (r["turns"], r["spans"])
+           for r in spark.table("win_parity_t").collect()}
+    spark.catalog.dropTempView("win_parity_t")
+    # >= 3 micro-batches actually ran (one per file)
+    assert len(q.recentProgress) >= 3
+    assert got == {0: (12, 12), 1: (12, 12), 2: (12, 12)}
