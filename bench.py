@@ -119,6 +119,7 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -282,21 +283,18 @@ def main() -> None:
     # The stream-parity replay source (multi-file parquet synthesized from the
     # documents corpus, built once per process) is charged explicitly too —
     # otherwise rep 1 pays the build and best-of-2 reports only the cached rep.
-    from ocr_engine_spark.streaming.stream import ensure_stream_parity_source
+    from ocr_engine_spark.streaming.stream import (
+        ensure_stream_parity_source, ensure_stream_window_source,
+    )
 
-    t0 = time.perf_counter()
-    ensure_stream_parity_source(spark, sf_dir)
-    timings["stream_parity_source"] = round(time.perf_counter() - t0, 3)
-    spark.catalog.clearCache()
-
-    # the spread-timestamp source the windowed-rollup parity row replays,
-    # charged explicitly for the same reason
-    from ocr_engine_spark.streaming.stream import ensure_stream_window_source
-
-    t0 = time.perf_counter()
-    ensure_stream_window_source(spark, sf_dir)
-    timings["stream_window_source"] = round(time.perf_counter() - t0, 3)
-    spark.catalog.clearCache()
+    for key, build in (
+        ("stream_parity_source", ensure_stream_parity_source),
+        ("stream_window_source", ensure_stream_window_source),
+    ):
+        t0 = time.perf_counter()
+        build(spark, sf_dir)
+        timings[key] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     # The assembled-plant corpus artifacts (the persisted assembled table the
     # conversation near-dup rows fan out from) are charged explicitly too —

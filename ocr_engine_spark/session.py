@@ -38,6 +38,13 @@ def build_session(app_name: str, cpus: int = 0,
     spark = (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # event-time semantics are timezone-dependent in two DIFFERENT ways:
+        # timestamp literals/date_trunc follow the session timezone, while
+        # F.window tumbling boundaries align to the UTC epoch — on a host
+        # with a fractional-hour offset (e.g. +05:30) the two disagree.
+        # Pinning UTC makes every engine-owned session's event-time math
+        # host-independent (the streaming window rollups rely on this).
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

@@ -240,24 +240,34 @@ def q_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     across repeated calls).  The production streaming path is
     ``dedup_stream`` -> a real file/table sink with checkpointing
     (jobs/stream_job.py), which never funnels rows through the driver."""
-    import uuid
-
     src = ensure_stream_parity_source(spark, sf_dir)
     stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
     deduped = dedup_stream(stream).select("text_md5")
-    sink = f"stream_parity_{uuid.uuid4().hex[:12]}"
+    grouped = _replay_to_memory(
+        spark, deduped, "append",
+        lambda t: t.groupBy("text_md5")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_rows")))
+    return spark.createDataFrame(grouped, "text_md5 string, n_rows int")
+
+
+def _replay_to_memory(spark: SparkSession, stream_df: DataFrame,
+                      output_mode: str, transform):
+    """Shared availableNow memory-sink replay for the parity rows: run the
+    stream to completion, apply ``transform`` to the sink table, drain via
+    ``toPandas`` (bounded — see each caller's contract-scale note), and drop
+    the temp view even when the drain fails."""
+    import uuid
+
+    sink = f"stream_replay_{uuid.uuid4().hex[:12]}"
     q = (
-        deduped.writeStream.format("memory").queryName(sink)
-        .trigger(availableNow=True).start()
+        stream_df.writeStream.format("memory").queryName(sink)
+        .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    grouped = (
-        spark.table(sink)
-        .groupBy("text_md5")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_rows"))
-    ).toPandas()
-    spark.catalog.dropTempView(sink)
-    return spark.createDataFrame(grouped, "text_md5 string, n_rows int")
+    try:
+        return transform(spark.table(sink)).toPandas()
+    finally:
+        spark.catalog.dropTempView(sink)
 
 
 _STREAM_WINDOW_DIRS: dict[tuple, str] = {}
@@ -317,23 +327,13 @@ def q_stream_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(windows) driver state — fine for an hours-wide replay; the production
     path is append mode with finalized windows to a checkpointed file sink
     (jobs/stream_job.py), which holds only open-window state on executors."""
-    import uuid
-
     src = ensure_stream_window_source(spark, sf_dir)
     stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
     win = metrics_window_stream(stream, watermark="30 days", window="1 hour")
-    sink = f"stream_window_{uuid.uuid4().hex[:12]}"
-    q = (
-        win.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    out = (
-        spark.table(sink)
-        .select(F.col("win.start").alias("win_start"),
-                F.col("turns").cast("long").alias("turns"),
-                F.col("spans"))
-    ).toPandas()
-    spark.catalog.dropTempView(sink)
+    out = _replay_to_memory(
+        spark, win, "complete",
+        lambda t: t.select(F.col("win.start").alias("win_start"),
+                           F.col("turns").cast("long").alias("turns"),
+                           F.col("spans")))
     return spark.createDataFrame(
         out, "win_start timestamp, turns bigint, spans bigint")

@@ -264,8 +264,6 @@ def test_stream_window_parity_accumulates_across_batches(spark, tmp_path):
     trigger)."""
     import pandas as pd
 
-    from pyspark.sql import functions as F
-
     from ocr_engine_spark.streaming.stream import (
         TRANSCRIPTS_DDL, metrics_window_stream,
     )
@@ -289,7 +287,7 @@ def test_stream_window_parity_accumulates_across_batches(spark, tmp_path):
     win = metrics_window_stream(stream, watermark="30 days", window="1 hour")
     q = (win.writeStream.format("memory").queryName("win_parity_t")
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    assert q.awaitTermination(180), "stream did not finish within 180s"
     got = {r["win"]["start"].hour: (r["turns"], r["spans"])
            for r in spark.table("win_parity_t").collect()}
     spark.catalog.dropTempView("win_parity_t")
