@@ -310,6 +310,19 @@ def main() -> None:
     timings["conv_asm_artifacts"] = round(time.perf_counter() - t0, 3)
     spark.catalog.clearCache()
 
+    # ... and the verified LSH pair sets over those corpora (consumed by
+    # conv_neardup and both canonical end-product rows)
+    from ocr_engine_spark.operators.conversations import (
+        materialized_conv_pairs,
+    )
+
+    t0 = time.perf_counter()
+    for _kind in ("truncated", "extended"):
+        materialized_conv_pairs(spark, sf_dir, _kind)
+    timings["conv_pairs_artifacts"] = round(time.perf_counter() - t0, 3)
+    release_persisted_artifacts()
+    spark.catalog.clearCache()
+
     # Per-query wall time = BEST OF 2 back-to-back reps: this shared VM drifts
     # 4-6x on single-shot readings (BENCH/dedup_regression.md pinned exactly
     # that for r03), and the second rep also amortizes one-time plan analysis.
