@@ -146,3 +146,60 @@ def test_semantic_decontam_argmax_tiebreak(spark):
     row = semantic_decontam(corpus, bench).collect()[0]
     assert row["bench_id"] == 1 and row["score"] == 1.0
     assert row["contaminated"] == 1
+
+
+# --- property-based: lm_quality vs a pure-Python oracle -------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_LM_WORDS = [f"w{i}" for i in range(10)] + ["the", "of"]
+
+
+@st.composite
+def _lm_corpora(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=10))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(min_value=0, max_value=8))
+        toks = [draw(st.sampled_from(_LM_WORDS)) for _ in range(n_tok)]
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+def _py_bigrams(text: str) -> list[str]:
+    """The _shingle_sql k=2 semantics: zip of shifted slices with a floor of
+    one shingle (a 0/1-token doc yields its single, possibly-empty token)."""
+    toks = text.strip().split(" ") if text.strip() else [""]
+    if len(toks) == 1:
+        return [toks[0]]
+    return [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_lm_corpora())
+def test_lm_quality_matches_python_oracle(spark, docs):
+    """lm_quality == an independent pure-Python replay on random corpora:
+    model = bigram counts of the ref slice pruned at min_count, per-doc
+    n_bigrams / n_oov / ref_mass computed by dict lookups."""
+    from collections import Counter
+
+    from ocr_engine_spark.operators.text_analysis import lm_quality
+
+    model = Counter()
+    for i, text in docs:
+        if i % 5 == 0:
+            model.update(_py_bigrams(text))
+    model = {b: c for b, c in model.items() if c >= 2}
+    want = {}
+    for i, text in docs:
+        if i % 5 == 0:
+            continue
+        bgs = _py_bigrams(text)
+        n_oov = sum(1 for b in bgs if b not in model)
+        want[i] = (len(bgs), n_oov, sum(model.get(b, 0) for b in bgs))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["ref_mass"])
+           for r in lm_quality(df).collect()}
+    assert got == want
