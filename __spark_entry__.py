@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kind_dispatch_extract": documents.q_kind_dispatch_extract,
         "pipeline_e2e": conversations.q_pipeline_e2e,
         "stream_window_parity": streaming_mod.q_stream_window_parity,
+        "stream_progress_parity": streaming_mod.q_stream_progress_parity,
         # — never driver-checked before r04 / changed in r04 —
         "conv_assemble": conversations.q_conv_assemble,
         "conv_dedup": conversations.q_conv_dedup,
@@ -670,6 +671,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE 1
                             END) AS BIGINT) AS spans
             FROM tx GROUP BY 1
+        """,
+        # custom-stateful-operator parity: replay the chunked multi-turn
+        # construction (the paragraph_dedup chunk CTEs) and the final
+        # per-conversation cumulative state batch-side; spans replays the
+        # plain-route kernel 0/1 CASE per turn
+        "stream_progress_parity": f"""
+            WITH {_CHUNK_CTES}
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                   count(*) AS turns,
+                   CAST(sum(CASE WHEN length(trim(chunk)) = 0 THEN 0 ELSE 1
+                            END) AS BIGINT) AS spans,
+                   CAST(max(cidx) AS INTEGER) AS last_turn_idx
+            FROM nchunks GROUP BY doc_id
         """,
         # S1 polymorphic declared-kind dispatch (tool value -> parser table):
         # doc_id % 4 picks payload format + declaring tool value; all four

@@ -103,6 +103,7 @@ HEADLINE = [
     "semantic_decontam",
     "domain_filter",
     "stream_window_parity",
+    "stream_progress_parity",
 ]
 
 # transcript corpus size for the extraction-throughput probe (~sf0.1 tier row count)
@@ -284,12 +285,14 @@ def main() -> None:
     # documents corpus, built once per process) is charged explicitly too —
     # otherwise rep 1 pays the build and best-of-2 reports only the cached rep.
     from ocr_engine_spark.streaming.stream import (
-        ensure_stream_parity_source, ensure_stream_window_source,
+        ensure_stream_parity_source, ensure_stream_progress_source,
+        ensure_stream_window_source,
     )
 
     for key, build in (
         ("stream_parity_source", ensure_stream_parity_source),
         ("stream_window_source", ensure_stream_window_source),
+        ("stream_progress_source", ensure_stream_progress_source),
     ):
         t0 = time.perf_counter()
         build(spark, sf_dir)

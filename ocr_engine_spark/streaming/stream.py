@@ -27,9 +27,10 @@ CONV_PROGRESS_SCHEMA = ("conv_id string, turns bigint, spans bigint, "
                         "last_turn_idx int")
 
 
-def _progress_update(timeout_ms: int):
+def _progress_update(timeout_ms: int | None):
     """The applyInPandasWithState update function (module-level so the timeout
-    path is unit-testable without a live streaming query)."""
+    path is unit-testable without a live streaming query).  ``None`` disables
+    the inactivity timeout (no timer is ever registered)."""
 
     def update(key, pdfs, state):
         if state.hasTimedOut:
@@ -49,7 +50,8 @@ def _progress_update(timeout_ms: int):
             if len(pdf):
                 last = max(last, int(pdf["turn_idx"].max()))
         state.update((turns, spans, last))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame({
             "conv_id": [key[0]], "turns": [turns], "spans": [spans],
             "last_turn_idx": [last],
@@ -68,6 +70,15 @@ def conversation_progress_stream(extracted, timeout_ms: int = 60_000):
     analogue of the reference's per-run manifest accumulation,
     /root/reference/run.py:91-118).  State is bounded: three numbers per live
     conversation, dropped after ``timeout_ms`` of inactivity (processing time).
+
+    ``timeout_ms=None`` disables the inactivity timeout (GroupStateTimeout.
+    NoTimeout).  CAVEAT for run-to-completion replays: registered
+    processing-time timers keep an ``availableNow`` query alive until they
+    fire — after the data drains, the query idles for up to ``timeout_ms``
+    running empty timer batches before it can terminate.  Continuous
+    production streams (where the timeout is the state bound) are unaffected;
+    bounded replays that want prompt termination pass ``None`` (the parity
+    row does).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -80,7 +91,8 @@ def conversation_progress_stream(extracted, timeout_ms: int = 60_000):
             outputStructType=CONV_PROGRESS_SCHEMA,
             stateStructType=CONV_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(GroupStateTimeout.NoTimeout if timeout_ms is None
+                         else GroupStateTimeout.ProcessingTimeTimeout),
         )
     )
 
@@ -337,3 +349,78 @@ def q_stream_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("spans")))
     return spark.createDataFrame(
         out, "win_start timestamp, turns bigint, spans bigint")
+
+
+_STREAM_PROGRESS_DIRS: dict[tuple, str] = {}
+
+
+def ensure_stream_progress_source(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize (once per process per corpus mtime) the MULTI-TURN
+    transcripts directory the stateful-progress parity query replays: each
+    document becomes one conversation whose turns are its non-overlapping
+    8-word chunks (``chunk_documents`` — deterministic, SQL-replayable), so
+    per-conversation state genuinely accumulates across turns AND across
+    micro-batches (the single-turn parity sources cannot exercise that)."""
+    from ocr_engine_spark.operators.dedup import (
+        _table_mtime, artifact_tmpdir, chunk_documents,
+        evict_stale_artifacts)
+
+    cache_key = (sf_dir, _table_mtime(sf_dir, "documents"))
+    if cache_key not in _STREAM_PROGRESS_DIRS:
+        evict_stale_artifacts(_STREAM_PROGRESS_DIRS, cache_key)
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text"))
+        tx = chunk_documents(docs).select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.col("cidx").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("chunk").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"))
+        src = artifact_tmpdir("ocr_engine_stream_progress_") + "/transcripts"
+        tx.repartition(8).write.parquet(src)
+        _STREAM_PROGRESS_DIRS[cache_key] = src
+    return _STREAM_PROGRESS_DIRS[cache_key]
+
+
+def q_stream_progress_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-stateful-operator parity, batch-comparable — the third
+    oracle-grade streaming row, covering ``conversation_progress_stream``
+    (the ``applyInPandasWithState`` keyed-state operator) the way the other
+    two rows cover stateful dedup and windowed aggregation.
+
+    The chunked multi-turn corpus replays THROUGH THE REAL STREAMING PATH:
+    incremental file source (2 files per trigger, so a conversation's turns
+    arrive split across micro-batches), the extraction kernel as a streaming
+    stage, then the keyed state update emitting cumulative
+    (turns, spans, last_turn_idx) per conversation on every micro-batch.
+
+    WHICH intermediate rows appear depends on how files batch, but the
+    cumulative counters are monotone in turns — so the per-conversation row
+    with the MAXIMUM turns is the final state, and it must equal the batch
+    rollup regardless of batch divisions.  The argmax is
+    ``max(struct(turns, spans, last_turn_idx))`` (turns is unique per
+    conversation across its emissions, so the struct order is total).  The
+    inactivity timeout is DISABLED (``timeout_ms=None`` -> NoTimeout):
+    registered processing-time timers keep an ``availableNow`` query alive
+    until they fire (see conversation_progress_stream), and state-eviction
+    timing is wall-clock-dependent anyway — the timeout path is pinned
+    separately by ``test_progress_update_timeout_drops_state_and_emits_nothing``.
+
+    CONTRACT-SCALE EVIDENCE ONLY: the memory sink holds every update row
+    (O(convs x batches)); the production path emits to a checkpointed sink
+    and state stays bounded by the timeout (streaming/stream.py
+    conversation_progress_stream)."""
+    src = ensure_stream_progress_source(spark, sf_dir)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    prog = conversation_progress_stream(
+        extract_stream(stream), timeout_ms=None)
+    out = _replay_to_memory(
+        spark, prog, "update",
+        lambda t: t.groupBy("conv_id")
+        .agg(F.max(F.struct("turns", "spans", "last_turn_idx")).alias("m"))
+        .select("conv_id", F.col("m.turns").alias("turns"),
+                F.col("m.spans").alias("spans"),
+                F.col("m.last_turn_idx").alias("last_turn_idx")))
+    return spark.createDataFrame(
+        out, "conv_id string, turns bigint, spans bigint, last_turn_idx int")

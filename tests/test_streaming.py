@@ -73,7 +73,21 @@ def test_conversation_progress_stateful(spark, stream_dir):
         .writeStream.format("memory").queryName("conv_progress")
         .outputMode("update").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    # the production ProcessingTimeTimeout path: registered timers keep the
+    # availableNow query alive well past the data (see the operator's CAVEAT),
+    # so wait for the DATA to drain (sink row count goes quiescent), then stop
+    # — never block on termination here
+    import time
+
+    rows = -1
+    for _ in range(60):
+        time.sleep(2)
+        n = spark.table("conv_progress").count()
+        if n == rows and n > 0 and (q.lastProgress or {}).get(
+                "numInputRows", 1) == 0:
+            break
+        rows = n
+    q.stop()
     # update mode emits one row per (conv, micro-batch); totals are monotonic so
     # the final state per conversation is the row-wise max
     got = {
@@ -294,3 +308,37 @@ def test_stream_window_parity_accumulates_across_batches(spark, tmp_path):
     # >= 3 micro-batches actually ran (one per file)
     assert len(q.recentProgress) >= 3
     assert got == {0: (12, 12), 1: (12, 12), 2: (12, 12)}
+
+
+def test_progress_stream_no_timeout_terminates(spark, stream_dir):
+    """timeout_ms=None (NoTimeout): an availableNow replay TERMINATES once the
+    data drains — the regression guard for the timer-keeps-the-query-alive
+    behavior the parity row works around (with ProcessingTimeTimeout,
+    registered timers hold the query open past the data)."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.streaming.stream import conversation_progress_stream
+
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=2)
+    q = (
+        conversation_progress_stream(extract_stream(stream), timeout_ms=None)
+        .writeStream.format("memory").queryName("conv_progress_nt")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120), "NoTimeout replay did not terminate"
+    got = {
+        r["conv_id"]: (r["turns"], r["spans"], r["last_turn_idx"])
+        for r in spark.table("conv_progress_nt")
+        .groupBy("conv_id")
+        .agg(F.max("turns").alias("turns"), F.max("spans").alias("spans"),
+             F.max("last_turn_idx").alias("last_turn_idx")).collect()
+    }
+    batch = extract_transcripts(spark.read.parquet(stream_dir))
+    want = {
+        r["conv_id"]: (r["turns"], r["spans"], r["last_turn_idx"])
+        for r in batch.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("turns"),
+             F.sum("n_spans").cast("long").alias("spans"),
+             F.max("turn_idx").alias("last_turn_idx")).collect()
+    }
+    assert got == want
